@@ -1,0 +1,104 @@
+"""Exact global total-order rank / top-k without a single-partition sort.
+
+A naive ``row_number().over(Window.orderBy(...))`` or a full ``orderBy`` pulls
+every row through ONE task — the classic scale killer (SURVEY.md §4.3). These
+operators keep the cut exact while staying distributed:
+
+1. ``repartitionByRange`` on the total-order key → partition i holds a
+   contiguous key range, ranges ascending with i.
+2. per-partition row counts (one tiny job, P rows to the driver),
+3. driver-side cumulative sum → per-partition rank offsets (or the boundary
+   partition for top-k),
+4. ``row_number`` windowed *within* each range partition (+ offset).
+
+Result is exact and deterministic whenever the key tuple is unique (ours is:
+disc_seq is unique), independent of physical partitioning. Memory per task is
+O(rows/P); nothing global ever materializes in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__pid"
+_RN = "__rn"
+
+
+def _range_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        df.repartitionByRange(n, *[F.col(k) for k in keys])
+        .withColumn(_PID, F.spark_partition_id())
+    )
+
+
+def with_global_rank(
+    df: DataFrame, keys: list[str], rank_col: str, start: int = 0
+) -> DataFrame:
+    """Add ``rank_col`` = 0-based position of each row in the total order
+    given by ``keys`` (ascending), offset by ``start``. Exact, distributed."""
+    part = _range_partitioned(df, keys).localCheckpoint(eager=False)
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy(_PID).orderBy(*[F.col(k).asc() for k in keys])
+    return (
+        part.withColumn(_RN, F.row_number().over(w))
+        .withColumn(
+            rank_col,
+            (F.col(_RN).cast("long") - 1 + off_map[F.col(_PID)]).cast("long"),
+        )
+        .drop(_PID, _RN)
+    )
+
+
+def global_topk(df: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Exact smallest-k rows by ``keys``. Only the single boundary range
+    partition pays a window; partitions entirely inside/outside the cut are
+    passed/dropped by a metadata-only filter."""
+    if k <= 0:
+        return df.limit(0)
+    part = _range_partitioned(df, keys).localCheckpoint(eager=False)
+    counts = sorted(
+        (r[_PID], r["cnt"])
+        for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total <= k:
+        return part.drop(_PID)
+    acc = 0
+    boundary_pid, take_in_boundary = -1, 0
+    keep_full: list[int] = []
+    for pid, cnt in counts:
+        if acc + cnt <= k:
+            keep_full.append(pid)
+            acc += cnt
+            if acc == k:
+                break
+        else:
+            boundary_pid, take_in_boundary = pid, k - acc
+            break
+    full = part.filter(F.col(_PID).isin(keep_full)) if keep_full else None
+    if take_in_boundary > 0:
+        w = Window.partitionBy(_PID).orderBy(*[F.col(kk).asc() for kk in keys])
+        edge = (
+            part.filter(F.col(_PID) == boundary_pid)
+            .withColumn(_RN, F.row_number().over(w))
+            .filter(F.col(_RN) <= take_in_boundary)
+            .drop(_RN)
+        )
+        full = edge if full is None else full.unionByName(edge)
+    assert full is not None
+    return full.drop(_PID)

@@ -1,0 +1,419 @@
+"""The flagship plan: round-synchronous (BSP) crawl loop (SURVEY.md §3.1).
+
+Each round is a Catalyst-planned batch job over snapshot-versioned tables:
+
+  SELECT  queued ⋈ broadcast(host_state) → R5 salted politeness windows →
+          exact global budget cut (no single-partition sort)
+  FETCH   mapInPandas over Arrow batches (simweb: outlinks + image decode)
+  EXPAND  posexplode(outlinks) → canonicalize (vectorized pandas UDF) →
+          xxhash64 → first-discovery dedup (min struct) → seen anti-join
+          (optionally Bloom-accelerated) → robots gate (JVM HOFs) → new rows
+  COMMIT  corpus.append ∥ seen.append ∥ frontier.overwrite ∥ host_state
+          update ∥ ordering/metrics append — then one atomic CHECKPOINT swap
+
+Why batch-iterative and not Structured Streaming: crawl-ordering equality with
+the reference contract (BASELINE.json north_rule) needs deterministic global
+round barriers, and snapshot resume maps 1:1 onto table snapshots — see
+SURVEY.md §3.3.
+
+Determinism: every cut/rank is keyed by the total order (depth, disc_seq) or
+(seq, pos) — both unique — so results are independent of partitioning,
+parallelism, and AQE decisions. pytest asserts exact ordering/seen/corpus
+equality against oracle/crawler.py at two parallelism levels.
+
+Scale notes (10^10 design point): the frontier overwrite rewrites only
+frontier-sized metadata + rows (images never enter wide shuffles; corpus bytes
+take the append-only path); the seen anti-join is Bloom-pre-filtered so only
+~FPR of duplicate traffic reaches the exact join; fetch results are
+checkpointed once and feed four consumers without re-fetch. On a real cluster
+replace localCheckpoint with persist(DISK_ONLY) and icetable with Iceberg."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import simweb
+from ..functions.spark_udfs import FETCH_SCHEMA, canonicalize_udf, fetch_map_in_pandas
+from ..operators.ordering import with_global_rank
+from ..operators.politeness import R3_KEYS, select_round
+from ..operators.robots import blocked_expr, path_col
+from ..operators.seen import BloomSeen, filter_new
+from ..schemas import HOST_STATE
+from ..sources.icetable import IceTable
+
+FRONTIER_COLS = [
+    "canon_url", "url_hash", "host", "depth", "disc_seq",
+    "priority", "state", "round_disc", "round_done",
+]
+
+
+class CrawlRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        round_budget: int,
+        n_salts: int = 8,
+        bloom: BloomSeen | None = None,
+        with_bytes: bool = True,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.round_budget = round_budget
+        self.n_salts = n_salts
+        self.bloom = bloom
+        self.with_bytes = with_bytes
+        self.frontier = IceTable(os.path.join(workdir, "frontier"))
+        self.corpus = IceTable(os.path.join(workdir, "corpus"))
+        self.seen = IceTable(os.path.join(workdir, "seen"))
+        self.ordering = IceTable(os.path.join(workdir, "ordering"))
+        self.crawl_log = IceTable(os.path.join(workdir, "crawl_log"))
+        self.host_state = IceTable(os.path.join(workdir, "host_state"))
+        self.bloom_shards = IceTable(os.path.join(workdir, "bloom_shards"))
+        self.round = 0
+        self.next_disc_seq = 0
+        self.next_seq = 0
+        self._corpus_rows = 0
+        self._ordering_rows = 0
+
+    # -- checkpointing --------------------------------------------------------
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.workdir, "CHECKPOINT")
+
+    def _commit_checkpoint(self) -> None:
+        state = {
+            "round": self.round,
+            "next_disc_seq": self.next_disc_seq,
+            "next_seq": self.next_seq,
+            "corpus_rows": self._corpus_rows,
+            "ordering_rows": self._ordering_rows,
+            "snapshots": {
+                "frontier": self.frontier.current_snapshot_id(),
+                "corpus": self.corpus.current_snapshot_id(),
+                "seen": self.seen.current_snapshot_id(),
+                "ordering": self.ordering.current_snapshot_id(),
+                "crawl_log": self.crawl_log.current_snapshot_id(),
+                "host_state": self.host_state.current_snapshot_id(),
+                "bloom_shards": self.bloom_shards.current_snapshot_id(),
+            },
+            "round_budget": self.round_budget,
+            "n_salts": self.n_salts,
+            "bloom": None
+            if self.bloom is None
+            else {
+                "n_buckets": self.bloom.n_buckets,
+                "m_bits": self.bloom.m_bits,
+                "k": self.bloom.k,
+            },
+            "with_bytes": self.with_bytes,
+        }
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ckpt_path())  # atomic — the ONLY commit point
+
+    @classmethod
+    def resume(cls, spark: SparkSession, workdir: str) -> "CrawlRunner":
+        """Rebuild a runner purely from the last atomic checkpoint. Any table
+        snapshots written after the checkpoint (a crashed round) are rolled
+        back, so a killed run continues bit-identically (north_rule:
+        "resumable from checkpoint")."""
+        with open(os.path.join(workdir, "CHECKPOINT")) as f:
+            state = json.load(f)
+        bloom = None
+        if state["bloom"]:
+            bloom = BloomSeen(**state["bloom"])
+        r = cls(
+            spark,
+            workdir,
+            round_budget=state["round_budget"],
+            n_salts=state["n_salts"],
+            bloom=bloom,
+            with_bytes=state["with_bytes"],
+        )
+        r.round = state["round"]
+        r.next_disc_seq = state["next_disc_seq"]
+        r.next_seq = state["next_seq"]
+        r._corpus_rows = state["corpus_rows"]
+        r._ordering_rows = state["ordering_rows"]
+        for name, tbl in state["snapshots"].items():
+            it: IceTable = getattr(r, name)
+            if tbl is not None and it.current_snapshot_id() != tbl:
+                it.rollback(tbl)
+        return r
+
+    # -- init ------------------------------------------------------------------
+
+    def _host_state_df(self) -> DataFrame:
+        return self.host_state.read(self.spark)
+
+    def init_from_seeds(self, seeds: list[str]) -> None:
+        spark = self.spark
+        host_rows = [
+            (
+                h["host"],
+                h["crawl_delay_rounds"],
+                h["tokens_per_round"],
+                [(r["allow"], r["prefix"]) for r in h["robots_rules"]],
+                h["last_round"],
+            )
+            for h in simweb.host_state_rows(last_round=-(10**6))
+        ]
+        hs = spark.createDataFrame(host_rows, HOST_STATE)
+        self.host_state.overwrite(hs)
+
+        seed_df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(seeds)], "seed_idx long, url string"
+        )
+        canon = seed_df.withColumn("canon_url", canonicalize_udf("url")).withColumn(
+            "url_hash", F.xxhash64("canon_url")
+        )
+        # R2/R4: first occurrence (min seed_idx) wins; survivors keep seed order
+        dedup = (
+            canon.groupBy("url_hash")
+            .agg(F.min(F.struct("seed_idx", "canon_url")).alias("s"))
+            .select("url_hash", "s.seed_idx", "s.canon_url")
+        )
+        ranked = with_global_rank(dedup, ["seed_idx"], "disc_seq", start=0)
+        n_seeds = ranked.count()
+        rows = self._new_frontier_rows(
+            ranked.withColumn("depth", F.lit(0)), round_disc=0
+        )
+        self.frontier.overwrite(rows.select(*FRONTIER_COLS), meta={"round": 0})
+        self.seen.append(rows.select("url_hash"), meta={"round": 0})
+        if self.bloom is not None:
+            self.bloom_shards.overwrite(
+                self.bloom.build(rows.select("url_hash")), meta={"round": 0}
+            )
+        self.next_disc_seq = n_seeds
+        self.round = 0
+        self._commit_checkpoint()
+
+    def _new_frontier_rows(self, cand: DataFrame, round_disc: int) -> DataFrame:
+        """cand: (canon_url, url_hash, depth, disc_seq) → full frontier rows
+        with host extraction + robots gating at enqueue (R6)."""
+        hosts = cand.withColumn(
+            "host", F.lower(F.parse_url("canon_url", F.lit("HOST")))
+        ).withColumn("__path", path_col(F.col("canon_url")))
+        rules = self._host_state_df().select("host", "robots_rules")
+        joined = hosts.join(F.broadcast(rules), on="host", how="left")
+        gated = joined.withColumn(
+            "blocked", blocked_expr("__path", "robots_rules")
+        )
+        return (
+            gated.withColumn("priority", -F.col("depth").cast("double"))
+            .withColumn(
+                "state", F.when(F.col("blocked"), F.lit("blocked")).otherwise("queued")
+            )
+            .withColumn("round_disc", F.lit(round_disc))
+            .withColumn(
+                "round_done",
+                F.when(F.col("blocked"), F.lit(round_disc)).otherwise(
+                    F.lit(None).cast("int")
+                ),
+            )
+            .select(*FRONTIER_COLS)
+        )
+
+    # -- one round --------------------------------------------------------------
+
+    def run_round(self) -> dict[str, Any]:
+        r = self.round + 1
+        spark = self.spark
+
+        # SELECT: queued ⋈ broadcast(host_state) → R5 → budget
+        frontier_df = self.frontier.read(spark)
+        hs = self._host_state_df().select(
+            "host", "crawl_delay_rounds", "tokens_per_round", "last_round"
+        )
+        queued = frontier_df.filter(F.col("state") == "queued").join(
+            F.broadcast(hs), on="host", how="inner"
+        )
+        selected = select_round(queued, r, self.round_budget, self.n_salts).select(
+            "canon_url", "url_hash", "host", "depth", "disc_seq"
+        )
+        ranked = with_global_rank(selected, R3_KEYS, "seq", start=self.next_seq)
+
+        # FETCH: vectorized mapInPandas; materialized once for four consumers
+        fetched = ranked.mapInPandas(
+            fetch_map_in_pandas(self.with_bytes), FETCH_SCHEMA
+        ).localCheckpoint()
+        n_selected = fetched.count()
+        if n_selected == 0:
+            self.round = r
+            self._commit_checkpoint()
+            return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
+
+        # ordering artifact + per-partition lineage metrics
+        self.ordering.append(
+            fetched.select("seq", F.lit(r).alias("round"), "canon_url"),
+            meta={"round": r},
+        )
+        metrics = (
+            fetched.groupBy(F.col("fetch_partition").alias("partition_id"))
+            .agg(
+                F.count("*").alias("n_selected"),
+                F.count("*").alias("n_fetched"),
+                F.lit(0).cast("long").alias("n_blocked"),
+                F.sum(F.col("has_image").cast("long")).alias("n_images"),
+                F.sum(F.size("outlinks")).alias("n_outlinks"),
+                F.sum(
+                    F.when(F.col("has_image"), F.length("image_bytes")).otherwise(0)
+                ).alias("bytes_out"),
+                F.lit(0.0).alias("fetch_ms"),
+            )
+            .withColumn("round", F.lit(r))
+        )
+        metric_rows = metrics.collect()
+        part_metrics = [row.asDict() for row in metric_rows]
+        self.crawl_log.append(
+            spark.createDataFrame(metric_rows, metrics.schema),
+            meta={"round": r, "partitions": part_metrics},
+        )
+
+        # corpus rows
+        images = fetched.filter("has_image").select(
+            F.col("canon_url").alias("image_id"),
+            F.col("image_bytes").alias("bytes"),
+            "w", "h", "fmt", "caption", "phash",
+        )
+        n_images = images.count()
+        if n_images:
+            self.corpus.append(images, meta={"round": r})
+        self._corpus_rows += n_images
+
+        # EXPAND: outlinks → canonical candidates → dedup → seen filter → gate
+        raw = fetched.select(
+            "seq",
+            F.col("depth").alias("parent_depth"),
+            F.posexplode("outlinks").alias("pos", "raw_url"),
+        )
+        cand = raw.withColumn("canon_url", canonicalize_udf("raw_url")).withColumn(
+            "url_hash", F.xxhash64("canon_url")
+        )
+        dedup = (
+            cand.groupBy("url_hash")
+            .agg(F.min(F.struct("seq", "pos", "parent_depth", "canon_url")).alias("s"))
+            .select(
+                "url_hash",
+                "s.seq",
+                "s.pos",
+                (F.col("s.parent_depth") + 1).alias("depth"),
+                "s.canon_url",
+            )
+        )
+        seen_df = self.seen.read(spark)
+        shards = (
+            self.bloom_shards.read(spark)
+            if self.bloom is not None and self.bloom_shards.current_snapshot_id() is not None
+            else None
+        )
+        new = filter_new(dedup, seen_df, self.bloom, shards)
+        new_ranked = with_global_rank(
+            new, ["seq", "pos"], "disc_seq_new", start=self.next_disc_seq
+        ).select(
+            "canon_url",
+            "url_hash",
+            "depth",
+            F.col("disc_seq_new").alias("disc_seq"),
+        )
+        new_rows = self._new_frontier_rows(new_ranked, round_disc=r).localCheckpoint()
+        n_new = new_rows.count()
+
+        # COMMIT
+        if n_new:
+            self.seen.append(new_rows.select("url_hash"), meta={"round": r})
+            if self.bloom is not None:
+                merged = self.bloom.merge(
+                    self.bloom_shards.read(spark),
+                    self.bloom.build(new_rows.select("url_hash")),
+                )
+                self.bloom_shards.overwrite(merged, meta={"round": r})
+        fetched_hosts = fetched.select("host").distinct()
+        hs_full = self._host_state_df()
+        hs_next = (
+            hs_full.join(
+                F.broadcast(fetched_hosts.withColumn("__hit", F.lit(1))),
+                on="host",
+                how="left",
+            )
+            .withColumn(
+                "last_round",
+                F.when(F.col("__hit").isNotNull(), F.lit(r)).otherwise(
+                    F.col("last_round")
+                ),
+            )
+            .drop("__hit")
+        )
+        self.host_state.overwrite(hs_next.select(*[f.name for f in HOST_STATE.fields]))
+        frontier_next = (
+            frontier_df.join(
+                fetched.select("url_hash").withColumn("__f", F.lit(1)),
+                on="url_hash",
+                how="left",
+            )
+            .withColumn(
+                "state",
+                F.when(F.col("__f").isNotNull(), F.lit("fetched")).otherwise(
+                    F.col("state")
+                ),
+            )
+            .withColumn(
+                "round_done",
+                F.when(F.col("__f").isNotNull(), F.lit(r)).otherwise(
+                    F.col("round_done")
+                ),
+            )
+            .drop("__f")
+            .select(*FRONTIER_COLS)
+            .unionByName(new_rows.select(*FRONTIER_COLS))
+        )
+        self.frontier.overwrite(
+            frontier_next,
+            meta={"round": r, "partitions": part_metrics},
+        )
+        self.next_seq += n_selected
+        self.next_disc_seq += n_new
+        self._ordering_rows += n_selected
+        self.round = r
+        self._commit_checkpoint()
+        return {
+            "round": r,
+            "n_selected": n_selected,
+            "n_new": n_new,
+            "n_images": n_images,
+        }
+
+    def run(self, rounds: int) -> list[dict[str, Any]]:
+        return [self.run_round() for _ in range(rounds)]
+
+    # -- artifacts ---------------------------------------------------------------
+
+    def ordering_df(self) -> DataFrame:
+        return self.ordering.read(self.spark)
+
+    def seen_df(self) -> DataFrame:
+        return self.seen.read(self.spark)
+
+    def corpus_df(self) -> DataFrame:
+        return self.corpus.read(self.spark)
+
+
+def run_crawl(
+    spark: SparkSession,
+    workdir: str,
+    seeds: list[str],
+    rounds: int,
+    round_budget: int,
+    **kw: Any,
+) -> CrawlRunner:
+    runner = CrawlRunner(spark, workdir, round_budget, **kw)
+    runner.init_from_seeds(seeds)
+    runner.run(rounds)
+    return runner

@@ -1,0 +1,86 @@
+"""End-to-end: Spark engine ≡ single-threaded oracle (the north_rule gate).
+
+Asserts exact crawl-ordering equality, exact URL-seen-set equality, corpus
+caption equality + decoded-pixel PSNR ≥ 40 dB (lossless exact), resume-from-
+checkpoint equivalence, and Bloom-mode equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.crawler import crawl as oracle_crawl
+from paperchase_crawler_spark import simweb
+from paperchase_crawler_spark.codecs import decode_image, psnr
+from paperchase_crawler_spark.operators.seen import BloomSeen
+from paperchase_crawler_spark.plans.crawl import CrawlRunner, run_crawl
+
+SEEDS = simweb.seed_urls(8)
+ROUNDS = 3
+BUDGET = 120
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return oracle_crawl(SEEDS, rounds=ROUNDS, round_budget=BUDGET)
+
+
+def _assert_match(runner, oracle, check_corpus=True):
+    eng_order = [
+        (r["seq"], r["round"], r["canon_url"])
+        for r in runner.ordering_df().orderBy("seq").collect()
+    ]
+    assert eng_order == oracle.ordering
+    eng_seen = {r["url_hash"] for r in runner.seen_df().collect()}
+    assert eng_seen == oracle.seen
+    if check_corpus:
+        eng = {r["image_id"]: r for r in runner.corpus_df().collect()}
+        assert len(eng) == len(oracle.corpus)
+        for row in oracle.corpus:
+            e = eng[row["image_id"]]
+            assert e["caption"] == row["caption"]
+            assert e["phash"] == row["phash"]
+            assert (e["w"], e["h"], e["fmt"]) == (row["w"], row["h"], row["fmt"])
+            ours = decode_image(bytes(e["bytes"]), e["fmt"])
+            ref = decode_image(row["bytes"], row["fmt"])
+            if row["fmt"] in ("ppm", "png"):
+                assert np.array_equal(ours, ref)
+            else:
+                assert psnr(ours, ref) == float("inf") or psnr(ours, ref) >= 40.0
+
+
+def test_engine_equals_oracle(spark, tmp_path, oracle):
+    runner = run_crawl(spark, str(tmp_path / "c"), SEEDS, ROUNDS, BUDGET)
+    _assert_match(runner, oracle)
+
+
+def test_resume_equivalence(spark, tmp_path, oracle):
+    wd = str(tmp_path / "r")
+    runner = CrawlRunner(spark, wd, round_budget=BUDGET, with_bytes=False)
+    runner.init_from_seeds(SEEDS)
+    runner.run(1)
+    # simulate a crash MID-round-2: uncheckpointed snapshot garbage appears
+    runner.ordering.append(
+        spark.createDataFrame([(999999, 99, "https://junk.example/x")],
+                              "seq long, round int, canon_url string")
+    )
+    resumed = CrawlRunner.resume(spark, wd)  # must roll the junk back
+    assert resumed.round == 1
+    resumed.run(ROUNDS - 1)
+    _assert_match(resumed, oracle, check_corpus=False)
+
+
+def test_bloom_mode_equivalence(spark, tmp_path, oracle):
+    runner = run_crawl(
+        spark,
+        str(tmp_path / "b"),
+        SEEDS,
+        ROUNDS,
+        BUDGET,
+        bloom=BloomSeen(n_buckets=8, m_bits=1 << 13, k=5),
+        with_bytes=False,
+    )
+    _assert_match(runner, oracle, check_corpus=False)
+    # corpus row count still matches even without bytes
+    assert runner.corpus_df().count() == len(oracle.corpus)

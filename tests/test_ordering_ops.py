@@ -1,0 +1,43 @@
+"""Distributed exact rank / top-k vs the naive single-partition truth."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from paperchase_crawler_spark.operators.ordering import global_topk, with_global_rank
+
+
+def _df(spark, n=500, seed=1):
+    rng = random.Random(seed)
+    rows = [(rng.randrange(5), i, rng.random()) for i in range(n)]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "depth int, disc_seq long, junk double").repartition(7)
+
+
+def test_with_global_rank_matches_sort(spark):
+    df = _df(spark)
+    got = {
+        r.disc_seq: r.rank
+        for r in with_global_rank(df, ["depth", "disc_seq"], "rank", start=100).collect()
+    }
+    want = sorted((r.depth, r.disc_seq) for r in df.collect())
+    for i, (_, seq) in enumerate(want):
+        assert got[seq] == 100 + i
+
+
+def test_global_topk_matches_sort(spark):
+    df = _df(spark, n=300, seed=2)
+    want = sorted((r.depth, r.disc_seq) for r in df.collect())[:37]
+    got = sorted((r.depth, r.disc_seq) for r in global_topk(df, ["depth", "disc_seq"], 37).collect())
+    assert got == want
+
+
+def test_global_topk_edges(spark):
+    df = _df(spark, n=20, seed=3)
+    assert global_topk(df, ["depth", "disc_seq"], 0).count() == 0
+    assert global_topk(df, ["depth", "disc_seq"], 10**6).count() == 20
+    empty = df.filter(F.lit(False))
+    assert global_topk(empty, ["depth", "disc_seq"], 5).count() == 0
+    assert with_global_rank(empty, ["depth", "disc_seq"], "rank").count() == 0
