@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship: a deterministic simweb crawl through the
+full engine (politeness, robots, Bloom-free exact seen filter, snapshot
+tables) and returns corpus + crawl stats. ``queries()`` / ``oracle_sql()``
+expose one DuckDB-checked entry per operator family (SURVEY.md §2.2) plus the
+training-data operators (dedup / similarity / text analysis) — implementations
+live in paperchase_crawler_spark.plans.driver_queries.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl a deterministic synthetic web end-to-end (8 seeds ×
+    2 rounds, budget 60) through the Spark engine, then summarize the fetched
+    image+caption corpus per format. Also touches sf0.001 testdata to prove
+    the scan path."""
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.plans.crawl import run_crawl
+
+    workdir = tempfile.mkdtemp(prefix="paperchase_entry_")
+    runner = run_crawl(
+        spark, workdir, simweb.seed_urls(8), rounds=2, round_budget=60
+    )
+    corpus = runner.corpus_df()
+    n_fetched = runner.ordering_df().count()
+    n_seen = runner.seen_df().count()
+    lineitem_rows = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).count()
+    return (
+        corpus.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.avg("w"), 2).alias("avg_w"),
+            F.round(F.avg("h"), 2).alias("avg_h"),
+            F.sum(F.length("bytes")).alias("total_bytes"),
+        )
+        .withColumn("n_fetched", F.lit(n_fetched).cast("long"))
+        .withColumn("n_seen", F.lit(n_seen).cast("long"))
+        .withColumn("sf0001_lineitem_rows", F.lit(lineitem_rows).cast("long"))
+        .orderBy("fmt")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from paperchase_crawler_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from paperchase_crawler_spark.plans.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

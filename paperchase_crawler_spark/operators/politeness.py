@@ -38,7 +38,15 @@ def eligible_hosts(joined: DataFrame, round_no: int) -> DataFrame:
 
 
 def per_host_topk_salted(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
-    """Keep the per-host top ``tokens_per_round`` queued rows by R3 order."""
+    """Keep the per-host top ``tokens_per_round`` queued rows by R3 order.
+
+    PRECONDITION: ``tokens_per_round`` is constant within each host (it comes
+    from the per-host host_state dimension). The two-pass salted cut is exact
+    under that invariant: every true top-``tokens`` row has salt-rank ≤ its
+    host-rank ≤ tokens (survives pass 1), and no row ranked below tokens can
+    be promoted in pass 2 because everything ahead of it also survived.
+    With row-varying tokens a dropped-ahead row could promote a later row —
+    tests/test_politeness_robots.py pins the per-host-constant case."""
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64("canon_url"), F.lit(n_salts)).cast("int")
     )

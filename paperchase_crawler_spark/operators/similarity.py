@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and an LSH-bucketed
+variant as the scale path. Everything is JVM column algebra (zip_with /
+aggregate higher-order functions) — no Python UDFs; both variants have
+ANSI-SQL twins for the DuckDB oracle.
+
+Scale notes: brute-force is O(N·Q) — right answer for small Q (broadcast the
+queries side!); the LSH path buckets by projection sign bits so candidate
+generation is a bucket-equi-join, shuffling only (bucket, id, vec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbours per query (self-matches excluded).
+
+    Output: (query_id, neighbor_id, cosine, rank). The queries side is
+    broadcast — at 100 TB the corpus streams map-side with zero shuffle."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j)).
+
+    ``planes`` is a tiny (plane_idx, vec) table — broadcast. Deterministic
+    given the planes; the oracle derives planes from fixed corpus rows so the
+    SQL twin is exact."""
+    p = planes.select(
+        F.col("plane_idx"), F.col(vec_col).cast("array<double>").alias("pv")
+    )
+    v = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bits = (
+        v.join(F.broadcast(p))
+        .withColumn(
+            "bit",
+            F.when(_dot(F.col("v"), F.col("pv")) > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("vid")
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), F.col("plane_idx")).cast("long")
+            ).alias("bucket")
+        )
+    )
+    return df.join(bits, df[id_col] == bits["vid"]).drop("vid")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    planes: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate all-pairs top-k: neighbours searched within LSH bucket only.
+
+    Output: (query_id, neighbor_id, cosine, rank) for every corpus row that
+    shares a bucket with ≥1 other row. Candidate join is on ``bucket`` —
+    shuffle is bucket-local (the scale path)."""
+    with_b = with_lsh_bucket(corpus, planes, vec_col, id_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "bucket",
+    ).withColumn("n", _norm(F.col("v")))
+    a, b = with_b.alias("a"), with_b.alias("b")
+    scored = (
+        a.join(b, on="bucket")
+        .filter(F.col("a.vid") != F.col("b.vid"))
+        .withColumn("cosine", _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")))
+    )
+    w = Window.partitionBy(F.col("a.vid")).orderBy(
+        F.col("cosine").desc(), F.col("b.vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )

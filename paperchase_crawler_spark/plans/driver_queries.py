@@ -1,0 +1,877 @@
+"""Driver analytics contract: Spark queries + their ANSI-SQL (DuckDB) twins.
+
+One entry per operator family from SURVEY.md §2.2 plus the training-data
+pipeline operators (dedup / similarity / text analysis), all over the driver's
+read-only testdata tables. Conventions that make the driver's order-
+insensitive value-hash comparison meaningful:
+
+- every computed column is aliased IDENTICALLY in the Spark plan and the SQL;
+- money-scale sums are cast to DECIMAL before aggregation in BOTH engines
+  (decimal addition is exact and associative → bit-equal across engines);
+- small-magnitude averages/ratios are rounded to 4 decimals (cross-engine
+  float-sum ordering noise is ~1e-13, far below the rounding step);
+- timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings (testdata is
+  timestamp_ntz; Spark session tz is UTC);
+- every ranking has a total-order tie-break so row sets are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.spark_udfs import canonicalize_udf
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.ordering import global_topk
+from ..operators.politeness import select_round
+from ..streaming.events import hourly_type_counts
+
+DEC = "decimal(28,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col) -> F.Column:
+    """Exact cross-engine sum: decimal accumulate, double out."""
+    return F.sum(F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)).cast(
+        "double"
+    )
+
+
+# --------------------------------------------------------------------------
+# scans / filters / aggregations
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+            F.round(_dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(_dsum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_Q03 = """
+SELECT l_orderkey,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_region_revenue(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_Q05 = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+  COUNT(*) AS n_items
+FROM region JOIN nation ON r_regionkey = n_regionkey
+  JOIN customer ON n_nationkey = c_nationkey
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q_brand_part_agg(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+    )
+
+
+SQL_BRAND = """
+SELECT p_brand, COUNT(*) AS n_items,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+  ROUND(AVG(p_retailprice), 4) AS avg_retail
+FROM part JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# joins: anti / semi
+# --------------------------------------------------------------------------
+
+
+def q_customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_NO_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_urgent_customer_nations(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+    )
+
+
+SQL_URGENT = """
+SELECT n_name, COUNT(DISTINCT c_custkey) AS n_customers
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+def q_top_orders_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_order_gaps(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = o.withColumn("prev_date", F.lag("o_orderdate").over(w)).withColumn(
+        "gap_days", F.datediff(F.col("o_orderdate"), F.col("prev_date"))
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        )
+    )
+
+
+SQL_GAPS = """
+SELECT c_mktsegment, COUNT(*) AS n_gaps, ROUND(AVG(gap_days), 4) AS avg_gap_days
+FROM (
+  SELECT o_custkey,
+    date_diff('day',
+      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate ASC, o_orderkey ASC),
+      o_orderdate) AS gap_days
+  FROM orders) g JOIN customer ON g.o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+
+
+def q_rollup_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("g"),
+            F.count("*").alias("n"),
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS g,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(_dsum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_nation_suppliers(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_NATION_SUPP = """
+SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
+  ROUND(AVG(s_acctbal), 4) AS avg_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# sorts / top-k (exercises the distributed exact global cut)
+# --------------------------------------------------------------------------
+
+
+def q_global_topk_lineitems(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    top = global_topk(li, ["l_shipdate", "l_orderkey", "l_linenumber"], 1000)
+    return top.select(
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("shipdate"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+SQL_TOPK = """
+SELECT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS shipdate, l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+LIMIT 1000
+"""
+
+
+def q_politeness_selection(spark, sf):
+    """The crawl R5 operator (salted per-host windows + exact global budget)
+    over a frontier derived from orders — SQL-checkable because R5 reduces to
+    per-host ROW_NUMBER + global ORDER BY LIMIT."""
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("o_custkey") % 37).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("canon_url"),
+        (F.col("o_custkey") % 37).cast("string").alias("host"),
+        (F.col("o_orderkey") % 5).cast("int").alias("depth"),
+        F.col("o_orderkey").alias("disc_seq"),
+        F.lit(1).alias("crawl_delay_rounds"),
+        # tokens must be a per-HOST constant (the operator's contract —
+        # host_state is a per-host dimension), so derive from host id
+        (2 + (F.col("o_custkey") % 37) % 4).cast("int").alias("tokens_per_round"),
+        F.lit(-1000000).alias("last_round"),
+    )
+    sel = select_round(frontier, 1, 500, n_salts=4)
+    return sel.select("host", "depth", "disc_seq")
+
+
+SQL_POLITENESS = """
+WITH frontier AS (
+  SELECT CAST(o_custkey % 37 AS VARCHAR) AS host,
+         CAST(o_orderkey % 5 AS INT) AS depth,
+         o_orderkey AS disc_seq,
+         CAST(2 + (o_custkey % 37) % 4 AS INT) AS tokens
+  FROM orders),
+per_host AS (
+  SELECT host, depth, disc_seq, tokens,
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY depth ASC, disc_seq ASC) AS rn
+  FROM frontier)
+SELECT host, depth, disc_seq FROM per_host WHERE rn <= tokens
+ORDER BY depth ASC, disc_seq ASC LIMIT 500
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windows / sessionization / JSON
+# --------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf):
+    return hourly_type_counts(_t(spark, sf, "events"))
+
+
+SQL_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gapped = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+                > 1800.0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sess AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gapped),
+per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+def q_events_json(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+  event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl-domain: URL canonicalization parity (R1 UDF vs independent SQL)
+# --------------------------------------------------------------------------
+
+
+def q_url_canonicalize(spark, sf):
+    """Builds deliberately-messy URLs (mixed case, default port, trailing
+    slash) from orders, runs the engine's R1 pandas UDF, and groups by host.
+    The SQL twin constructs the canonical form independently — any R1 bug
+    breaks the hash match."""
+    o = _t(spark, sf, "orders")
+    h = (F.col("o_custkey") % 20).cast("string")
+    pg = (F.col("o_orderkey") % 100).cast("string")
+    messy = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("HTTPS://Host"), h, F.lit(".Example:443/page/"), pg, F.lit("/")),
+    ).otherwise(F.concat(F.lit("https://host"), h, F.lit(".example/page/"), pg))
+    canon = o.select(canonicalize_udf(messy).alias("canon_url"))
+    return (
+        canon.withColumn("host", F.parse_url("canon_url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("canon_url").alias("n_urls"),
+        )
+    )
+
+
+SQL_CANON = """
+SELECT 'host' || CAST(o_custkey % 20 AS VARCHAR) || '.example' AS host,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT 'https://host' || CAST(o_custkey % 20 AS VARCHAR)
+        || '.example/page/' || CAST(o_orderkey % 100 AS VARCHAR)) AS n_urls
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family (documents)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    doubled = d.unionByName(d)  # synthesize duplicates from the given table
+    survivors = D.exact_dedup(doubled, "text", "doc_id")
+    return survivors.groupBy("source").agg(F.count("*").alias("n_unique"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT source, COUNT(*) AS n_unique FROM (
+  SELECT source, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents))
+WHERE rn = 1 GROUP BY source
+"""
+
+_SQL_GRAMS3 = (
+    "list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
+)
+_SQL_H = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def q_dedup_jaccard(spark, sf):
+    return D.jaccard_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", k=3, threshold=0.5
+    )
+
+
+SQL_JACCARD = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+g AS (SELECT doc_id, unnest({_SQL_GRAMS3}) AS shingle FROM d),
+sz AS (SELECT doc_id, COUNT(*) n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM g a JOIN g b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM (
+  SELECT doc_a, doc_b,
+    n_inter::DOUBLE / (sa.n + sb.n - n_inter) AS j
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+WHERE j >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", k=3, n_hashes=8, bands=4
+    )
+
+
+def _sql_minhash() -> str:
+    hcols = ",\n  ".join(
+        "list_min(list_transform(grams, g -> "
+        + _SQL_H.format(expr=f"g || '#{i}'")
+        + f")) AS h{i}"
+        for i in range(8)
+    )
+    bands = []
+    for b in range(4):
+        c0, c1 = f"h{2*b}", f"h{2*b+1}"
+        bands.append(
+            f"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM sig l JOIN sig r "
+            f"ON l.{c0} = r.{c0} AND l.{c1} = r.{c1} AND l.doc_id < r.doc_id"
+        )
+    union = "\nUNION\n".join(bands)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+grams_t AS (SELECT doc_id, {_SQL_GRAMS3} AS grams FROM d),
+sig AS (SELECT doc_id,
+  {hcols}
+FROM grams_t)
+SELECT DISTINCT doc_a, doc_b FROM ({union})
+"""
+
+
+SQL_MINHASH = _sql_minhash()
+
+
+def q_dedup_simhash(spark, sf):
+    return D.simhash_pairs(_t(spark, sf, "documents"), "text", "doc_id", max_hamming=3)
+
+
+def _sql_simhash() -> str:
+    votes = ",\n  ".join(
+        f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(32)
+    )
+    h = _SQL_H.format(expr="word")
+    return f"""
+WITH w AS (
+  SELECT doc_id, {h} AS wh
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents)),
+votes AS (SELECT doc_id, {votes} FROM w GROUP BY doc_id),
+sim AS (SELECT doc_id, {bits} AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_dedup_embedding(spark, sf):
+    return D.embedding_dup_pairs(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.4
+    )
+
+
+SQL_EMBED_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return S.cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+SQL_ANN_BF = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 4) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_dot_product(c.v, q.v) / (c.nrm * q.nrm) DESC, c.vec_id ASC)
+  AS INT) AS rank
+FROM n c JOIN n q ON q.vec_id < 5 AND c.vec_id != q.vec_id
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    planes = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("plane_idx"), "embedding"
+    )
+    return S.lsh_bucketed_topk(e, planes, k=3)
+
+
+SQL_ANN_LSH = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+planes AS (SELECT vec_id AS p_idx, v AS pv FROM e WHERE vec_id < 6),
+buckets AS (
+  SELECT e.vec_id AS vid, e.v,
+    SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+             THEN (1::BIGINT << p_idx) ELSE 0 END) AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v),
+n AS (SELECT vid, v, bucket, sqrt(list_dot_product(v, v)) nrm FROM buckets)
+SELECT a.vid AS query_id, b.vid AS neighbor_id,
+  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY a.vid
+    ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vid ASC)
+  AS INT) AS rank
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vid != b.vid
+QUALIFY rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    per_doc = d.select(
+        "source",
+        T.token_count_ws(F.col("text")).alias("tok_ws"),
+        T.token_count_bpe(F.col("text")).alias("tok_bpe"),
+        T.punct_ratio(F.col("text")).alias("pr"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("tok_ws"), 4).alias("avg_tokens_ws"),
+        F.round(F.avg("tok_bpe"), 4).alias("avg_tokens_bpe"),
+        F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens_ws,
+  ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4) AS avg_tokens_bpe,
+  ROUND(AVG((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+            / length(text)), 4) AS avg_punct_ratio
+FROM documents GROUP BY source
+"""
+
+
+def q_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", T.langid(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_langid() -> str:
+    hit_exprs = []
+    for lg, ws in T.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        hit_exprs.append(
+            f"len(list_filter(string_split(text, ' '), w -> list_contains([{lst}], lower(w)))) AS hit_{lg}"
+        )
+    hits = ",\n  ".join(hit_exprs)
+    langs = list(T.STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"hit_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hit_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT lang, {hits} FROM documents),
+p AS (SELECT lang, {best} AS best, * FROM h)
+SELECT lang, {case} AS predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("source", T.fingerprint(F.col("text"), k=4).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+    )
+
+
+_SQL_GRAMS4 = (
+    "list_distinct(list_transform(range(1, len(w)-2), "
+    "i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]))"
+)
+
+SQL_FINGERPRINT = f"""
+WITH d AS (SELECT source, string_split(text, ' ') w FROM documents),
+fp_t AS (SELECT source,
+  list_min(list_transform({_SQL_GRAMS4}, g -> {_SQL_H.format(expr='g')})) AS fp
+FROM d)
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_fp
+FROM fp_t GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q05_region_revenue": q05_region_revenue,
+    "q_brand_part_agg": q_brand_part_agg,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_urgent_customer_nations": q_urgent_customer_nations,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_order_gaps": q_order_gaps,
+    "q_rollup_lineitem": q_rollup_lineitem,
+    "q_cube_orders": q_cube_orders,
+    "q_nation_suppliers": q_nation_suppliers,
+    "q_global_topk_lineitems": q_global_topk_lineitems,
+    "q_politeness_selection": q_politeness_selection,
+    "q_events_hourly": q_events_hourly,
+    "q_sessionize": q_sessionize,
+    "q_events_json": q_events_json,
+    "q_url_canonicalize": q_url_canonicalize,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_jaccard": q_dedup_jaccard,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_ann_bruteforce": q_ann_bruteforce,
+    "q_ann_lsh": q_ann_lsh,
+    "q_text_quality": q_text_quality,
+    "q_langid": q_langid,
+    "q_fingerprint": q_fingerprint,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": SQL_Q01,
+    "q03_shipping_priority": SQL_Q03,
+    "q05_region_revenue": SQL_Q05,
+    "q_brand_part_agg": SQL_BRAND,
+    "q_customers_without_orders": SQL_NO_ORDERS,
+    "q_urgent_customer_nations": SQL_URGENT,
+    "q_top_orders_per_customer": SQL_TOP_ORDERS,
+    "q_order_gaps": SQL_GAPS,
+    "q_rollup_lineitem": SQL_ROLLUP,
+    "q_cube_orders": SQL_CUBE,
+    "q_nation_suppliers": SQL_NATION_SUPP,
+    "q_global_topk_lineitems": SQL_TOPK,
+    "q_politeness_selection": SQL_POLITENESS,
+    "q_events_hourly": SQL_HOURLY,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_events_json": SQL_JSON,
+    "q_url_canonicalize": SQL_CANON,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_dedup_jaccard": SQL_JACCARD,
+    "q_dedup_minhash_lsh": SQL_MINHASH,
+    "q_dedup_simhash": SQL_SIMHASH,
+    "q_dedup_embedding": SQL_EMBED_DUP,
+    "q_ann_bruteforce": SQL_ANN_BF,
+    "q_ann_lsh": SQL_ANN_LSH,
+    "q_text_quality": SQL_TEXT_QUALITY,
+    "q_langid": SQL_LANGID,
+    "q_fingerprint": SQL_FINGERPRINT,
+}
