@@ -31,6 +31,87 @@ FETCH_SCHEMA = (
 )
 
 
+OUTLINKS_SCHEMA = (
+    "canon_url string, url_hash long, host string, depth int, disc_seq long, "
+    "seq long, status int, outlinks array<string>, has_image boolean, "
+    "fetch_partition int"
+)
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long"
+)
+
+
+def fetch_outlinks_map_in_pandas():
+    """Pass-1 fetch: outlinks + has_image flag only — the expand path never
+    carries image bytes (scale rule: media stays out of wide plans)."""
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        from .hashing import xxh64_u64_vec
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = pdf["url_hash"].to_numpy("int64")
+            u = hashes.view(np.uint64)
+            with np.errstate(over="ignore"):
+                has = (
+                    xxh64_u64_vec(u * np.uint64(5)) % np.uint64(10)
+                ) < np.uint64(3)
+            yield pd.DataFrame(
+                {
+                    "canon_url": pdf["canon_url"].to_numpy(),
+                    "url_hash": hashes,
+                    "host": pdf["host"].to_numpy(),
+                    "depth": pdf["depth"].to_numpy("int32"),
+                    "disc_seq": pdf["disc_seq"].to_numpy("int64"),
+                    "seq": pdf["seq"].to_numpy("int64"),
+                    "status": 200,
+                    "outlinks": simweb.outlinks_batch(hashes),
+                    "has_image": has,
+                    "fetch_partition": pid,
+                }
+            )
+
+    return _fetch
+
+
+def fetch_images_map_in_pandas(with_bytes: bool = True):
+    """Pass-2 fetch: decode/synthesize + encode images for rows already known
+    to carry one; output is corpus-shaped and goes straight to the sink."""
+
+    CHUNK = 256  # ~60KB/image ⇒ ~16MB Arrow batches: bounds worker memory
+    # and pipelines the python→JVM transfer (a full 8192-row input batch
+    # would emit a ~500MB Arrow batch and stall the JVM ingest side)
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), CHUNK):
+                part = pdf.iloc[lo : lo + CHUNK]
+                if part.empty:
+                    continue
+                hashes = part["url_hash"].to_numpy("int64")
+                img = simweb.images_batch(hashes, with_bytes=with_bytes)
+                yield pd.DataFrame(
+                    {
+                        "image_id": part["canon_url"].to_numpy(),
+                        "bytes": img["bytes"],
+                        "w": img["w"],
+                        "h": img["h"],
+                        "fmt": img["fmt"],
+                        "caption": img["caption"],
+                        "phash": img["phash"],
+                    }
+                )
+
+    return _fetch
+
+
 def fetch_map_in_pandas(with_bytes: bool = True):
     """Build the mapInPandas function for the FETCH stage.
 

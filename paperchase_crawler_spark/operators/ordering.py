@@ -64,6 +64,43 @@ def with_global_rank(
     )
 
 
+def global_topk_ranked(
+    df: DataFrame, keys: list[str], k: int, rank_col: str, start: int = 0
+) -> DataFrame:
+    """Exact smallest-k rows by ``keys`` WITH their global 0-based rank
+    (+``start``), in one range-partition pass — fuses global_topk +
+    with_global_rank so the crawl SELECT stage pays one shuffle, one
+    checkpoint, one count job instead of two of each."""
+    part = _range_partitioned(df, keys).localCheckpoint(eager=False)
+    counts = sorted(
+        (r[_PID], r["cnt"])
+        for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    )
+    if not counts:
+        return df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
+    acc = 0
+    offsets: dict[int, int] = {}
+    boundary_pid, take_in_boundary = None, 0
+    for pid, cnt in counts:
+        if acc >= k:
+            break
+        offsets[pid] = acc + start
+        if acc + cnt > k:
+            boundary_pid, take_in_boundary = pid, k - acc
+        acc += cnt
+    kept = part.filter(F.col(_PID).isin(list(offsets)))
+    w = Window.partitionBy(_PID).orderBy(*[F.col(kk).asc() for kk in keys])
+    ranked = kept.withColumn(_RN, F.row_number().over(w))
+    if boundary_pid is not None:
+        ranked = ranked.filter(
+            (F.col(_PID) != boundary_pid) | (F.col(_RN) <= take_in_boundary)
+        )
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return ranked.withColumn(
+        rank_col, (F.col(_RN).cast("long") - 1 + off_map[F.col(_PID)]).cast("long")
+    ).drop(_PID, _RN)
+
+
 def global_topk(df: DataFrame, keys: list[str], k: int) -> DataFrame:
     """Exact smallest-k rows by ``keys``. Only the single boundary range
     partition pays a window; partitions entirely inside/outside the cut are

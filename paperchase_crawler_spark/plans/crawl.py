@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import simweb
-from ..functions.spark_udfs import FETCH_SCHEMA, canonicalize_udf, fetch_map_in_pandas
+from ..functions.spark_udfs import (
+    IMAGES_SCHEMA,
+    OUTLINKS_SCHEMA,
+    canonicalize_udf,
+    fetch_images_map_in_pandas,
+    fetch_outlinks_map_in_pandas,
+)
 from ..operators.ordering import with_global_rank
 from ..operators.politeness import R3_KEYS, select_round
 from ..operators.robots import blocked_expr, path_col
@@ -235,25 +241,28 @@ class CrawlRunner:
         queued = frontier_df.filter(F.col("state") == "queued").join(
             F.broadcast(hs), on="host", how="inner"
         )
-        selected = select_round(queued, r, self.round_budget, self.n_salts).select(
-            "canon_url", "url_hash", "host", "depth", "disc_seq"
-        )
-        ranked = with_global_rank(selected, R3_KEYS, "seq", start=self.next_seq)
+        ranked = select_round(
+            queued,
+            r,
+            self.round_budget,
+            self.n_salts,
+            rank_col="seq",
+            rank_start=self.next_seq,
+        ).select("canon_url", "url_hash", "host", "depth", "disc_seq", "seq")
 
-        # FETCH: vectorized mapInPandas; materialized once for four consumers
-        fetched = ranked.mapInPandas(
-            fetch_map_in_pandas(self.with_bytes), FETCH_SCHEMA
-        ).localCheckpoint()
-        n_selected = fetched.count()
-        if n_selected == 0:
-            self.round = r
-            self._commit_checkpoint()
-            return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
-
-        # ordering artifact + per-partition lineage metrics
-        self.ordering.append(
-            fetched.select("seq", F.lit(r).alias("round"), "canon_url"),
-            meta={"round": r},
+        # FETCH pass 1 (outlinks + has_image, no media bytes): the budget cut
+        # leaves only the few range partitions holding the selected rows —
+        # rebalance by url_hash so fetch uses every core (SURVEY.md §3.1;
+        # rows are tiny, the shuffle is cheap). The partition count MUST be
+        # explicit: an un-numbered repartition is AQE-coalesced by byte size,
+        # and these rows are tiny but each costs real Python fetch work —
+        # AQE would starve the stage down to ~4 tasks. Image bytes never
+        # enter this plan: they stream through pass 2 into the corpus sink.
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        fetched = (
+            ranked.repartition(n_parts, F.col("url_hash"))
+            .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
+            .localCheckpoint()
         )
         metrics = (
             fetched.groupBy(F.col("fetch_partition").alias("partition_id"))
@@ -263,28 +272,41 @@ class CrawlRunner:
                 F.lit(0).cast("long").alias("n_blocked"),
                 F.sum(F.col("has_image").cast("long")).alias("n_images"),
                 F.sum(F.size("outlinks")).alias("n_outlinks"),
-                F.sum(
-                    F.when(F.col("has_image"), F.length("image_bytes")).otherwise(0)
-                ).alias("bytes_out"),
+                F.lit(0).cast("long").alias("bytes_out"),  # real bytes: see corpus_bytes meta
                 F.lit(0.0).alias("fetch_ms"),
             )
             .withColumn("round", F.lit(r))
         )
         metric_rows = metrics.collect()
         part_metrics = [row.asDict() for row in metric_rows]
+        # single collect drives all row accounting — no extra count() jobs
+        n_selected = sum(m["n_selected"] for m in part_metrics)
+        n_images = int(sum(m["n_images"] for m in part_metrics))
+        if n_selected == 0:
+            self.round = r
+            self._commit_checkpoint()
+            return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
         self.crawl_log.append(
             spark.createDataFrame(metric_rows, metrics.schema),
             meta={"round": r, "partitions": part_metrics},
         )
 
-        # corpus rows
-        images = fetched.filter("has_image").select(
-            F.col("canon_url").alias("image_id"),
-            F.col("image_bytes").alias("bytes"),
-            "w", "h", "fmt", "caption", "phash",
+        # ordering artifact
+        self.ordering.append(
+            fetched.select("seq", F.lit(r).alias("round"), "canon_url"),
+            meta={"round": r},
         )
-        n_images = images.count()
+
+        # FETCH pass 2 → corpus sink: image synthesis/decode/encode streams
+        # directly into the append (no checkpoint — bytes touch memory once)
         if n_images:
+            images = (
+                fetched.filter("has_image")
+                .select("canon_url", "url_hash")
+                .mapInPandas(
+                    fetch_images_map_in_pandas(self.with_bytes), IMAGES_SCHEMA
+                )
+            )
             self.corpus.append(images, meta={"round": r})
         self._corpus_rows += n_images
 

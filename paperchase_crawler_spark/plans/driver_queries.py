@@ -813,6 +813,112 @@ FROM fp_t GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# sketches / bitmap / approx distinct / string distance / as-of join
+# --------------------------------------------------------------------------
+
+
+def q_bitmap_distinct(spark, sf):
+    """Exact distinct via Spark's bitmap agg surface (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count) — the exact
+    small-scale twin of the crawl's URL-seen structure. Oracle: plain
+    COUNT(DISTINCT)."""
+    li = _t(spark, sf, "lineitem")
+    per_bucket = (
+        li.select(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("b"),
+            F.expr("bitmap_bit_position(l_partkey)").alias("p"),
+        )
+        .groupBy("l_returnflag", "b")
+        .agg(F.expr("bitmap_construct_agg(p)").alias("bm"))
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_parts")
+    )
+
+
+SQL_BITMAP = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark, sf):
+    """HLL monitoring surface (approx_count_distinct + hll_sketch_agg/
+    hll_union_agg merge path). Approximation algorithms differ across
+    engines, so this is a rows-only check (no oracle) — the EXACT twin is
+    q_bitmap_distinct."""
+    li = _t(spark, sf, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_partkey)").alias("sk"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    )
+    return per_flag.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_parts_total"),
+        F.sum("approx_suppliers").alias("approx_suppliers_sum"),
+    )
+
+
+def q_levenshtein(spark, sf):
+    """String-distance QA surface (caption comparisons in the crawl domain)."""
+    p = _t(spark, sf, "part")
+    return (
+        p.withColumn("lev", F.levenshtein(F.col("p_name"), F.col("p_type")))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("lev"), 4).alias("avg_lev"),
+            F.max("lev").alias("max_lev"),
+        )
+    )
+
+
+SQL_LEVENSHTEIN = """
+SELECT p_brand, COUNT(*) AS n,
+  ROUND(AVG(levenshtein(p_name, p_type)), 4) AS avg_lev,
+  MAX(levenshtein(p_name, p_type)) AS max_lev
+FROM part GROUP BY p_brand
+"""
+
+
+def q_asof_join(spark, sf):
+    """events ⟕asof orders: latest order (by o_orderdate) per user key at or
+    before each event. Spark: cogrouped pd.merge_asof; oracle: DuckDB's
+    native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("k"), F.col("ts").alias("ets")
+    )
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 50).alias("k"),
+        F.col("o_orderdate").alias("ots"),
+        "o_orderkey",
+    )
+    # unique time per key for cross-engine determinism
+    o_uniq = o.groupBy("k", "ots").agg(F.max("o_orderkey").alias("ref_order"))
+    joined = asof_join(
+        ev,
+        o_uniq,
+        key="k",
+        left_time="ets",
+        right_time="ots",
+        out_schema="event_id long, k long, ets timestamp_ntz, ref_order long",
+        right_cols=["ref_order"],
+    )
+    return joined.select("event_id", "k", "ref_order")
+
+
+SQL_ASOF = """
+WITH ev AS (SELECT event_id, user_id % 50 AS k, ts AS ets FROM events),
+o AS (SELECT o_custkey % 50 AS k, o_orderdate AS ots, MAX(o_orderkey) AS ref_order
+      FROM orders GROUP BY 1, 2)
+SELECT event_id, ev.k AS k, ref_order
+FROM ev ASOF LEFT JOIN o ON ev.k = o.k AND ev.ets >= o.ots
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -844,6 +950,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
+    "q_bitmap_distinct": q_bitmap_distinct,
+    "q_approx_distinct": q_approx_distinct,
+    "q_levenshtein": q_levenshtein,
+    "q_asof_join": q_asof_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -874,4 +984,9 @@ ORACLE_SQL: dict[str, str] = {
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_langid": SQL_LANGID,
     "q_fingerprint": SQL_FINGERPRINT,
+    "q_bitmap_distinct": SQL_BITMAP,
+    # q_approx_distinct: intentionally no oracle (approx algorithms differ
+    # across engines) — driver records the weaker rows-only check.
+    "q_levenshtein": SQL_LEVENSHTEIN,
+    "q_asof_join": SQL_ASOF,
 }

@@ -78,6 +78,7 @@ class IceTable:
             if f.endswith(".parquet")
         )
         counts = {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+        self.last_commit_bytes = sum(os.path.getsize(f) for f in files)
         return files, counts
 
     def _commit(

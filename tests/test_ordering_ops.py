@@ -6,7 +6,11 @@ import random
 
 from pyspark.sql import functions as F
 
-from paperchase_crawler_spark.operators.ordering import global_topk, with_global_rank
+from paperchase_crawler_spark.operators.ordering import (
+    global_topk,
+    global_topk_ranked,
+    with_global_rank,
+)
 
 
 def _df(spark, n=500, seed=1):
@@ -32,6 +36,20 @@ def test_global_topk_matches_sort(spark):
     want = sorted((r.depth, r.disc_seq) for r in df.collect())[:37]
     got = sorted((r.depth, r.disc_seq) for r in global_topk(df, ["depth", "disc_seq"], 37).collect())
     assert got == want
+
+
+def test_global_topk_ranked_matches_sort(spark):
+    df = _df(spark, n=400, seed=4)
+    want = sorted((r.depth, r.disc_seq) for r in df.collect())
+    for k in (1, 37, 400, 9999):
+        got = {
+            r.rank: (r.depth, r.disc_seq)
+            for r in global_topk_ranked(df, ["depth", "disc_seq"], k, "rank", start=7).collect()
+        }
+        assert len(got) == min(k, 400)
+        for i in range(min(k, 400)):
+            assert got[7 + i] == want[i]
+    assert global_topk_ranked(df.limit(0), ["depth", "disc_seq"], 5, "rank").count() == 0
 
 
 def test_global_topk_edges(spark):
