@@ -813,6 +813,140 @@ FROM fp_t GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# more window / grouping-sets / set-ops / percentiles / map-json surface
+# --------------------------------------------------------------------------
+
+
+def q_window_ranks(spark, sf):
+    """rank / dense_rank / lead / ntile over a deterministic total order."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return ranked.filter(F.col("rnk") <= 5)
+
+
+SQL_WINDOW_RANKS = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+    CAST(RANK() OVER w AS INT) AS rnk,
+    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+    LEAD(o_orderkey, 1) OVER w AS next_key,
+    CAST(NTILE(4) OVER w AS INT) AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC))
+WHERE rnk <= 5
+"""
+
+
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS ((status), (priority), ())."""
+    o = _t(spark, sf, "orders")
+    gs = o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(_dsum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n",
+        "sum_price",
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_set_ops(spark, sf):
+    """INTERSECT / EXCEPT: customers with urgent orders but no low ones."""
+    o = _t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low)
+    only_urgent = urgent.distinct().exceptAll(low.distinct())
+    return spark.createDataFrame(
+        [("both", both.count()), ("urgent_only", only_urgent.count())],
+        "segment string, n long",
+    )
+
+
+SQL_SET_OPS = """
+SELECT 'both' AS segment, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+UNION ALL
+SELECT 'urgent_only', COUNT(*) FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles (median, p95) per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 4).alias("mn"),
+        F.round(F.max("l_extendedprice"), 4).alias("mx"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+  ROUND(MIN(l_extendedprice), 4) AS mn,
+  ROUND(MAX(l_extendedprice), 4) AS mx
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_json_map(spark, sf):
+    """props JSON → typed map → explode(map) → agg (map/json surface)."""
+    ev = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    exploded = ev.select(
+        "event_type", F.explode(m).alias("k_name", "k_val")
+    )
+    return exploded.groupBy("event_type", "k_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("k_val").cast("long")).alias("sum_val"),
+        F.round(F.avg("k_val"), 4).alias("avg_val"),
+    )
+
+
+SQL_JSON_MAP = """
+SELECT event_type, 'k' AS k_name, COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_val,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_val
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # sketches / bitmap / approx distinct / string distance / as-of join
 # --------------------------------------------------------------------------
 
@@ -954,6 +1088,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_levenshtein": q_levenshtein,
     "q_asof_join": q_asof_join,
+    "q_window_ranks": q_window_ranks,
+    "q_grouping_sets": q_grouping_sets,
+    "q_set_ops": q_set_ops,
+    "q_percentiles": q_percentiles,
+    "q_json_map": q_json_map,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -989,4 +1128,9 @@ ORACLE_SQL: dict[str, str] = {
     # across engines) — driver records the weaker rows-only check.
     "q_levenshtein": SQL_LEVENSHTEIN,
     "q_asof_join": SQL_ASOF,
+    "q_window_ranks": SQL_WINDOW_RANKS,
+    "q_grouping_sets": SQL_GROUPING_SETS,
+    "q_set_ops": SQL_SET_OPS,
+    "q_percentiles": SQL_PERCENTILES,
+    "q_json_map": SQL_JSON_MAP,
 }

@@ -7,11 +7,14 @@ import shutil
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from paperchase_crawler_spark.streaming.events import (
     hourly_type_counts,
     read_events_stream,
     run_stream_to_memory,
     sessionized,
+    stateful_user_totals,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -39,6 +42,31 @@ def test_hourly_stream_equals_batch(spark, events_dir):
     got = spark.sql("SELECT * FROM hourly_t")
     assert _sorted_rows(got) == _sorted_rows(batch)
     assert got.count() > 0
+
+
+def test_stateful_user_totals(spark, events_dir):
+    stream = stateful_user_totals(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_totals_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user == the batch ground truth
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM user_totals_t").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_session_window_stream(spark, events_dir):
