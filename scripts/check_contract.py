@@ -6,10 +6,13 @@ values. Usage: python scripts/check_contract.py [sf_dir] [query ...]"""
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -55,10 +58,10 @@ def main() -> int:
         )
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             sp = fn(spark, sf_dir).toPandas()
