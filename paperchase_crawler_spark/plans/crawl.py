@@ -46,7 +46,7 @@ from ..functions.spark_udfs import (
     fetch_outlinks_map_in_pandas,
 )
 from ..operators.ordering import with_global_rank
-from ..operators.politeness import R3_KEYS, select_round
+from ..operators.politeness import select_round
 from ..operators.robots import blocked_expr, path_col
 from ..operators.seen import BloomSeen, filter_new
 from ..schemas import HOST_STATE

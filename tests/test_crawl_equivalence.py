@@ -71,6 +71,18 @@ def test_resume_equivalence(spark, tmp_path, oracle):
     _assert_match(resumed, oracle, check_corpus=False)
 
 
+def test_tight_budget_equivalence(spark, tmp_path):
+    """ROUND_BUDGET far below the politeness-eligible candidate count: the
+    exact global cut (and the last_round bookkeeping for hosts whose rows
+    were all cut) must still match the oracle round by round."""
+    seeds = simweb.seed_urls(12)
+    oracle = oracle_crawl(seeds, rounds=4, round_budget=7)
+    runner = run_crawl(
+        spark, str(tmp_path / "t"), seeds, rounds=4, round_budget=7, with_bytes=False
+    )
+    _assert_match(runner, oracle, check_corpus=False)
+
+
 def test_bloom_mode_equivalence(spark, tmp_path, oracle):
     runner = run_crawl(
         spark,

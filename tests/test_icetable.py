@@ -55,6 +55,14 @@ def test_readers_use_file_list_not_listing(spark, tbl):
     assert sorted(r.x for r in tbl.read(spark).collect()) == [1]
 
 
+def test_commit_empty_carries_meta(spark, tbl):
+    tbl.append(_df(spark, [1, 2]), meta={"round": 1})
+    sid = tbl.commit_empty(meta={"round": 2, "note": "metadata-only"})
+    snap = tbl.snapshot(sid)
+    assert snap["op"] == "meta" and snap["meta"]["note"] == "metadata-only"
+    assert sorted(r.x for r in tbl.read(spark).collect()) == [1, 2]
+
+
 def test_version_pointer_is_last(spark, tbl):
     tbl.append(_df(spark, [1]))
     # snapshot file for id 1 exists only if VERSION points at it; simulate a
