@@ -160,6 +160,13 @@ class CrawlRunner:
         return self.host_state.read(self.spark)
 
     def init_from_seeds(self, seeds: list[str]) -> None:
+        if os.path.exists(self._ckpt_path()):
+            raise ValueError(
+                f"workdir {self.workdir} already contains a crawl checkpoint; "
+                "use CrawlRunner.resume() to continue it, or point at a fresh "
+                "directory — mixing crawls would silently append onto the old "
+                "snapshot tables"
+            )
         spark = self.spark
         host_rows = [
             (

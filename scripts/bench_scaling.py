@@ -81,15 +81,16 @@ def gen_frontier(path: str, rows: int, hosts: int) -> None:
 
 
 def make_zip(zip_path: str) -> None:
-    pkg = os.path.join(REPO, "paperchase_crawler_spark")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, REPO))
+        for pkg_name in ("paperchase_crawler_spark", "oracle"):
+            pkg = os.path.join(REPO, pkg_name)
+            for root, _, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, REPO))
 
 
 def run_level(
