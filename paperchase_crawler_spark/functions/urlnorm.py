@@ -105,7 +105,9 @@ def canon_url(url: str) -> str:
 _SIMPLE_RE = re.compile(
     # fast path: lowercase scheme://lowercase-host/plain-path, no port, no
     # query/fragment/dot-segments/escapes/trailing slash — already canonical
-    r"^(?:http|https)://[a-z0-9.\-]+/[A-Za-z0-9_\-./]*[A-Za-z0-9_\-]$"
+    # \Z (not $): $ also matches before a trailing newline, which would let
+    # a whitespace-bearing URL skip the scalar path's strip()
+    r"^(?:http|https)://[a-z0-9.\-]+/[A-Za-z0-9_\-./]*[A-Za-z0-9_\-]\Z"
 )
 
 

@@ -150,7 +150,11 @@ class CrawlRunner:
         r._ordering_rows = state["ordering_rows"]
         for name, tbl in state["snapshots"].items():
             it: IceTable = getattr(r, name)
-            if tbl is not None and it.current_snapshot_id() != tbl:
+            # tbl is None when the table had never been committed at checkpoint
+            # time — a crash during its FIRST-ever commit leaves a live
+            # snapshot that must roll back to empty, or the replayed round
+            # would append duplicate rows
+            if it.current_snapshot_id() != tbl:
                 it.rollback(tbl)
         return r
 
@@ -271,32 +275,34 @@ class CrawlRunner:
             .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
             .localCheckpoint()
         )
+        # every selected row is fetched (robots-blocked rows never enqueue as
+        # 'queued' — see _new_frontier_rows), so the per-partition lineage is
+        # (n_fetched, n_images, n_outlinks); the round's enqueue-time blocked
+        # count lands in the commit meta once EXPAND computes it
         metrics = (
             fetched.groupBy(F.col("fetch_partition").alias("partition_id"))
             .agg(
-                F.count("*").alias("n_selected"),
                 F.count("*").alias("n_fetched"),
-                F.lit(0).cast("long").alias("n_blocked"),
                 F.sum(F.col("has_image").cast("long")).alias("n_images"),
                 F.sum(F.size("outlinks")).alias("n_outlinks"),
                 F.lit(0).cast("long").alias("bytes_out"),  # real bytes: see corpus_bytes meta
                 F.lit(0.0).alias("fetch_ms"),
             )
             .withColumn("round", F.lit(r))
+            .select(
+                "round", "partition_id", "n_fetched", "n_images",
+                "n_outlinks", "bytes_out", "fetch_ms",
+            )
         )
         metric_rows = metrics.collect()
         part_metrics = [row.asDict() for row in metric_rows]
         # single collect drives all row accounting — no extra count() jobs
-        n_selected = sum(m["n_selected"] for m in part_metrics)
+        n_selected = sum(m["n_fetched"] for m in part_metrics)
         n_images = int(sum(m["n_images"] for m in part_metrics))
         if n_selected == 0:
             self.round = r
             self._commit_checkpoint()
             return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
-        self.crawl_log.append(
-            spark.createDataFrame(metric_rows, metrics.schema),
-            meta={"round": r, "partitions": part_metrics},
-        )
 
         # ordering artifact
         self.ordering.append(
@@ -353,9 +359,26 @@ class CrawlRunner:
             F.col("disc_seq_new").alias("disc_seq"),
         )
         new_rows = self._new_frontier_rows(new_ranked, round_disc=r).localCheckpoint()
-        n_new = new_rows.count()
+        # one agg job gives both the new-row total AND the enqueue-time
+        # robots-blocked split (the lineage number the crawl_log reports)
+        state_counts = {
+            row["state"]: row["n"]
+            for row in new_rows.groupBy("state").agg(F.count("*").alias("n")).collect()
+        }
+        n_new = sum(state_counts.values())
+        n_blocked_enqueued = int(state_counts.get("blocked", 0))
 
         # COMMIT
+        self.crawl_log.append(
+            spark.createDataFrame(metric_rows, metrics.schema),
+            meta={
+                "round": r,
+                "partitions": part_metrics,
+                "n_selected": n_selected,
+                "n_new": n_new,
+                "n_blocked_enqueued": n_blocked_enqueued,
+            },
+        )
         if n_new:
             self.seen.append(new_rows.select("url_hash"), meta={"round": r})
             if self.bloom is not None:

@@ -940,7 +940,9 @@ def q_json_map(spark, sf):
 
 SQL_JSON_MAP = """
 SELECT event_type, 'k' AS k_name, COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_val,
+  -- outer cast: DuckDB SUM(BIGINT) yields HUGEINT (int128), which the
+  -- driver's value-hash serializes differently from Spark's bigint
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_val,
   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_val
 FROM events GROUP BY event_type
 """

@@ -116,14 +116,15 @@ ORDERING = StructType(
 )
 
 # Per-(round, partition) lineage + metrics (north_rule: "per-partition lineage
-# and fetch/parse metrics"), also embedded in icetable snapshot JSON.
+# and fetch/parse metrics"), also embedded in icetable snapshot JSON. Every
+# selected row is fetched (robots gating happens at ENQUEUE, so blocked URLs
+# never reach the fetch stage); the round-level selected/new/blocked-at-enqueue
+# counts live in the crawl_log snapshot meta, not duplicated per partition.
 CRAWL_LOG = StructType(
     [
         StructField("round", IntegerType(), False),
         StructField("partition_id", IntegerType(), False),
-        StructField("n_selected", LongType(), False),
         StructField("n_fetched", LongType(), False),
-        StructField("n_blocked", LongType(), False),
         StructField("n_images", LongType(), False),
         StructField("n_outlinks", LongType(), False),
         StructField("bytes_out", LongType(), False),

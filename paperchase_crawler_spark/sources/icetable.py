@@ -69,6 +69,13 @@ class IceTable:
 
     # -- commits -------------------------------------------------------------
 
+    def _next_sid(self) -> int:
+        """Snapshot ids are NEVER reused (Iceberg semantics): after a rollback
+        the next commit takes max(existing)+1, so rolled-back-over snapshots
+        stay valid time-travel history instead of being silently overwritten."""
+        ids = self.snapshot_ids()
+        return (ids[-1] + 1) if ids else 0
+
     def _write_data(self, df: DataFrame, sid: int) -> tuple[list[str], dict[str, int]]:
         sub = os.path.join(self.data_dir, f"s{sid}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(sub)
@@ -89,7 +96,7 @@ class IceTable:
         meta: dict[str, Any] | None,
     ) -> int:
         parent = self.current_snapshot_id()
-        sid = (parent + 1) if parent is not None else 0
+        sid = self._next_sid()
         snap = {
             "id": sid,
             "parent": parent,
@@ -112,17 +119,14 @@ class IceTable:
 
     def append(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
         parent = self.snapshot()
-        sid_next = (parent["id"] + 1) if parent else 0
-        files, counts = self._write_data(df, sid_next)
+        files, counts = self._write_data(df, self._next_sid())
         if parent:
             files = parent["files"] + files
             counts = {**parent["row_counts"], **counts}
         return self._commit("append", files, counts, meta)
 
     def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
-        parent = self.snapshot()
-        sid_next = (parent["id"] + 1) if parent else 0
-        files, counts = self._write_data(df, sid_next)
+        files, counts = self._write_data(df, self._next_sid())
         return self._commit("overwrite", files, counts, meta)
 
     def commit_empty(self, meta: dict[str, Any] | None = None) -> int:
@@ -140,7 +144,17 @@ class IceTable:
             raise ValueError(f"icetable {self.path}: no data at snapshot {snapshot_id}")
         return spark.read.parquet(*snap["files"])
 
-    def rollback(self, snapshot_id: int) -> None:
+    def rollback(self, snapshot_id: int | None) -> None:
+        """Point VERSION back at ``snapshot_id``. ``None`` rolls back to the
+        never-committed state (needed when a crash happened during a table's
+        FIRST-ever commit: the checkpoint recorded no snapshot to return to).
+        Later snapshots remain on disk as history; new commits take fresh ids."""
+        if snapshot_id is None:
+            try:
+                os.remove(self._version_file())
+            except FileNotFoundError:
+                pass
+            return
         if snapshot_id not in self.snapshot_ids():
             raise ValueError(f"unknown snapshot {snapshot_id}")
         vtmp = self._version_file() + ".tmp"

@@ -71,6 +71,43 @@ def test_resume_equivalence(spark, tmp_path, oracle):
     _assert_match(resumed, oracle, check_corpus=False)
 
 
+def test_resume_after_first_commit_crash(spark, tmp_path, oracle):
+    """Crash DURING a table's first-ever commit: at init, ordering/corpus/
+    crawl_log have no snapshot (checkpoint records None). Garbage committed
+    to them before the round-1 checkpoint must roll back to EMPTY on resume,
+    or the replayed round would append duplicate seq/image rows."""
+    wd = str(tmp_path / "fc")
+    runner = CrawlRunner(spark, wd, round_budget=BUDGET, with_bytes=False)
+    runner.init_from_seeds(SEEDS)
+    # simulate round 1 dying mid-commit: ordering got its FIRST snapshot but
+    # the checkpoint (which still records ordering=None) never swapped
+    runner.ordering.append(
+        spark.createDataFrame([(0, 1, "https://junk.example/x")],
+                              "seq long, round int, canon_url string")
+    )
+    resumed = CrawlRunner.resume(spark, wd)
+    assert resumed.ordering.current_snapshot_id() is None
+    resumed.run(ROUNDS)
+    _assert_match(resumed, oracle, check_corpus=False)
+
+
+def test_crawl_log_lineage_schema(spark, tmp_path):
+    """crawl_log rows carry per-partition fetch lineage; the round-level
+    selected/new/blocked-at-enqueue counts live in the snapshot meta."""
+    from paperchase_crawler_spark.schemas import CRAWL_LOG
+
+    runner = run_crawl(
+        spark, str(tmp_path / "log"), SEEDS, rounds=2, round_budget=BUDGET,
+        with_bytes=False,
+    )
+    log = runner.crawl_log.read(spark)
+    assert [f.name for f in log.schema.fields] == [f.name for f in CRAWL_LOG.fields]
+    meta = runner.crawl_log.snapshot()["meta"]
+    per_part = log.filter(F.col("round") == meta["round"]).collect()
+    assert sum(row["n_fetched"] for row in per_part) == meta["n_selected"]
+    assert meta["n_new"] >= meta["n_blocked_enqueued"] >= 0
+
+
 def test_tight_budget_equivalence(spark, tmp_path):
     """ROUND_BUDGET far below the politeness-eligible candidate count: the
     exact global cut (and the last_round bookkeeping for hosts whose rows

@@ -63,6 +63,23 @@ def test_commit_empty_carries_meta(spark, tbl):
     assert sorted(r.x for r in tbl.read(spark).collect()) == [1, 2]
 
 
+def test_rollback_to_empty_and_no_id_reuse(spark, tbl):
+    tbl.append(_df(spark, [1]))      # snap 0
+    tbl.append(_df(spark, [2]))      # snap 1
+    tbl.rollback(0)
+    # ids are never reused: the next commit must NOT overwrite snap-1
+    sid = tbl.append(_df(spark, [7]))
+    assert sid == 2 and tbl.snapshot(sid)["parent"] == 0
+    assert sorted(r.x for r in tbl.read(spark, 1).collect()) == [1, 2]
+    assert sorted(r.x for r in tbl.read(spark).collect()) == [1, 7]
+    # rollback(None) → never-committed state; next commit gets a fresh id
+    tbl.rollback(None)
+    assert tbl.current_snapshot_id() is None
+    sid2 = tbl.append(_df(spark, [9]))
+    assert sid2 == 3 and tbl.snapshot(sid2)["parent"] is None
+    assert sorted(r.x for r in tbl.read(spark).collect()) == [9]
+
+
 def test_version_pointer_is_last(spark, tbl):
     tbl.append(_df(spark, [1]))
     # snapshot file for id 1 exists only if VERSION points at it; simulate a

@@ -33,6 +33,20 @@ def test_idempotent_on_cases():
         assert canon_url(c) == c
 
 
+def test_trailing_whitespace_vectorized_equals_scalar():
+    """Regression: the fast-path regex must not accept 'url\\n' ($ matches
+    before a trailing newline; \\Z does not) — scalar strips, so the
+    vectorized form must too, or one canonical URL splits into two."""
+    urls = [
+        "https://h.example/page/1\n",
+        "https://h.example/page/1",
+        " https://h.example/page/2 ",
+    ]
+    got = list(canon_series(pd.Series(urls, dtype=object)))
+    assert got == [canon_url(u) for u in urls]
+    assert got[0] == got[1] == "https://h.example/page/1"
+
+
 _url_st = st.builds(
     lambda scheme, host, port, segs, q, frag: scheme
     + "://"
