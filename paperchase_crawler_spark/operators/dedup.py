@@ -175,30 +175,100 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    banded: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
-    Pairwise here (fine at oracle scale); the scale path blocks by simhash
-    bytes (4 rotations × 8-bit blocks) before comparing — same pattern as
-    minhash banding."""
+    Default (``banded=True``) is the scale path: split the 32-bit hash into
+    ``max_hamming + 1`` bit blocks — by pigeonhole, Hamming ≤ max_hamming
+    implies at least one block is EQUAL — equi-join per block on
+    (block_idx, block_value), then verify exact Hamming and distinct the
+    pairs. Identical output to the pairwise form (property-tested), but the
+    join is a shuffled equi-join on the block key, never a cartesian.
+
+    ``banded=False`` keeps the O(N²) pairwise reference (oracle-scale only).
+    """
     s = simhash64(df, text_col, id_col)
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ),
+    if not banded:
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                "hamming",
+            )
         )
-        .filter(F.col("hamming") <= max_hamming)
+    n_blocks = max_hamming + 1
+    bounds = [i * 32 // n_blocks for i in range(n_blocks + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    ex = s.select(
+        "doc_id", "simhash", F.explode(blocks).alias("b")
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+
+def _lsh_band_codes(
+    v: F.Column, dim: int, n_bands: int, rows_per_band: int, seed: int
+) -> list[F.Column]:
+    """One sign-LSH code column per band: bit j of band b =
+    sign(dot(v, plane_{b*r+j})). Planes are seeded-deterministic literals
+    baked into the plan — no shuffle, no Python; the whole code computation
+    is narrow JVM column algebra over the vector in place."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal(
+        (n_bands * rows_per_band, dim)
+    )
+    codes = []
+    for b in range(n_bands):
+        code = F.lit(0).cast("long")
+        for j in range(rows_per_band):
+            p = F.array(*[F.lit(float(x)) for x in planes[b * rows_per_band + j]])
+            dot = F.aggregate(
+                F.zip_with(v, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            code = code + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(0)
+        codes.append(code)
+    return codes
 
 
 def embedding_dup_pairs(
@@ -206,11 +276,24 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    n_bands: int | None = 4,
+    rows_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (exact, pairwise).
+    """Near-dup pairs by embedding cosine ≥ threshold.
 
-    Dot/norm via JVM higher-order functions (zip_with + aggregate) — no
-    Python. The scale path pre-blocks with LSH (similarity.lsh_bucketed)."""
+    Default is the scale path: banded sign-LSH candidate generation (union
+    of per-band exact-code equi-joins) followed by an exact cosine verify —
+    the join shuffles on (band, code), never all pairs. A pair at angle θ
+    collides in one band with prob (1-θ/π)^rows_per_band; near-dups
+    (θ → 0) collide with prob → 1 in EVERY band, so recall at real dup
+    thresholds is 1 up to astronomically unlikely plane-grazing flips
+    (property-tested == the exact form on the contract data).
+
+    ``n_bands=None`` is the exact all-pairs reference (oracle scale only) —
+    the DuckDB twin of the contract query computes this form.
+    """
     normed = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -218,19 +301,49 @@ def embedding_dup_pairs(
         "norm",
         F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    a, b = normed.alias("a"), normed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if n_bands is None:
+        a, b = normed.alias("a"), normed.alias("b")
+        cand = a.join(b, F.col("a.vid") < F.col("b.vid"))
+    else:
+        codes = _lsh_band_codes(
+            F.col("v"), dim, n_bands, rows_per_band, seed
+        )
+        ex = normed.select(
+            "vid",
+            "v",
+            "norm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), c.alias("code"))
+                        for i, c in enumerate(codes)
+                    ]
+                )
+            ).alias("bc"),
+        ).select(
+            "vid", "v", "norm",
+            F.col("bc.band").alias("band"),
+            F.col("bc.code").alias("code"),
+        )
+        a, b = ex.alias("a"), ex.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
     return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+        cand.withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
             F.round("cosine", 4).alias("cosine"),
         )
+        .distinct()
     )

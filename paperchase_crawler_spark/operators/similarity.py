@@ -96,21 +96,63 @@ def lsh_bucketed_topk(
     k: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hot_bucket_cap: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Approximate all-pairs top-k: neighbours searched within LSH bucket only.
 
     Output: (query_id, neighbor_id, cosine, rank) for every corpus row that
     shares a bucket with ≥1 other row. Candidate join is on ``bucket`` —
-    shuffle is bucket-local (the scale path)."""
+    shuffle is bucket-local (the scale path).
+
+    ``hot_bucket_cap``: skew guard. Buckets holding more rows than the cap
+    are salted — the query side takes salt = pmod(xxhash64(vid), n_salts)
+    and the neighbour side is replicated across all salts, so the join key
+    becomes (bucket, salt) and one hot bucket spreads over n_salts tasks.
+    Every ordered pair still meets at exactly one salt → results are
+    IDENTICAL to the unguarded plan (property-tested); only the max task
+    size changes. The within-bucket candidate count is semantic (search the
+    whole bucket), so the guard bounds skew, not total work."""
     with_b = with_lsh_bucket(corpus, planes, vec_col, id_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
         "bucket",
     ).withColumn("n", _norm(F.col("v")))
-    a, b = with_b.alias("a"), with_b.alias("b")
+    if hot_bucket_cap is None:
+        a, b = with_b.alias("a"), with_b.alias("b")
+        cand = a.join(b, on="bucket")
+    else:
+        hot = (
+            with_b.groupBy("bucket")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") > hot_bucket_cap)
+            .select("bucket", F.lit(True).alias("__hot"))
+        )
+        flagged = with_b.join(F.broadcast(hot), on="bucket", how="left")
+        a = flagged.withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64("vid"), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("__hot")
+        b = (
+            flagged.withColumn(
+                "__salts",
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("__salt", F.explode("__salts"))
+            .withColumn("__salt", F.col("__salt").cast("int"))
+            .drop("__salts", "__hot")
+        )
+        cand = a.alias("a").join(b.alias("b"), on=["bucket", "__salt"]).drop("__salt")
     scored = (
-        a.join(b, on="bucket")
-        .filter(F.col("a.vid") != F.col("b.vid"))
+        cand.filter(F.col("a.vid") != F.col("b.vid"))
         .withColumn("cosine", _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")))
     )
     w = Window.partitionBy(F.col("a.vid")).orderBy(

@@ -570,8 +570,13 @@ _SQL_H = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def q_dedup_jaccard(spark, sf):
+    # max_doc_freq=64 is the shingle-skew defense (a shingle in f docs makes
+    # f² join rows); the testdata's max shingle doc-freq is 25 at sf0.1, so
+    # the cap provably changes nothing here and the uncapped SQL twin still
+    # hash-matches — tests/test_dedup_scale.py pins both facts.
     return D.jaccard_pairs(
-        _t(spark, sf, "documents"), "text", "doc_id", k=3, threshold=0.5
+        _t(spark, sf, "documents"), "text", "doc_id", k=3, threshold=0.5,
+        max_doc_freq=64,
     )
 
 
@@ -655,18 +660,44 @@ SQL_SIMHASH = _sql_simhash()
 
 
 def q_dedup_embedding(spark, sf):
+    """Embedding near-dup detection with PLANTED near-duplicates: each vector
+    gets a twin (vec_id + 100000) perturbed by deterministic trig noise
+    (cos ≈ 0.9997), expressible identically in ANSI SQL. The natural max
+    pair cosine in the testdata is 0.51, so threshold 0.9 selects exactly
+    the planted pairs — a real dedup task (round 1's threshold-0.4 variant
+    just harvested the random-pair tail, where no candidate blocking can be
+    exact). The engine runs the BANDED sign-LSH blocked plan; the DuckDB
+    twin computes the exact all-pairs form — the hash match IS the recall
+    proof."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # rename first: Spark resolves a lateral alias, so F.col("vec_id") inside
+    # the lambda would otherwise bind to the NEW vec_id+100000 column
+    noisy = e.withColumnRenamed("vec_id", "ovid").select(
+        (F.col("ovid") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("v"),
+            lambda x, i: x + 0.004 * F.sin(F.col("ovid") * 64 + i),
+        ).alias("v"),
+    )
     return D.embedding_dup_pairs(
-        _t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.4
+        e.unionByName(noisy), "v", "vec_id", threshold=0.9,
+        n_bands=4, rows_per_band=8, dim=64,
     )
 
 
 SQL_EMBED_DUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e)
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+noisy AS (SELECT vec_id + 100000 AS nvid,
+  list_transform(v, (x, i) -> x + 0.004 * sin(vec_id * 64 + (i - 1))) AS nv
+  FROM base),
+u AS (SELECT vec_id, v FROM base UNION ALL SELECT nvid, nv FROM noisy),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM u)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
 """
 
 
@@ -699,7 +730,10 @@ def q_ann_lsh(spark, sf):
     planes = e.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").cast("int").alias("plane_idx"), "embedding"
     )
-    return S.lsh_bucketed_topk(e, planes, k=3)
+    # hot_bucket_cap exercises the salted skew guard in the contract plan;
+    # the guard is result-identical by construction, so the SQL twin is
+    # unchanged (tests/test_dedup_scale.py pins guarded == unguarded)
+    return S.lsh_bucketed_topk(e, planes, k=3, hot_bucket_cap=50, n_salts=4)
 
 
 SQL_ANN_LSH = """
@@ -878,16 +912,28 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 def q_set_ops(spark, sf):
-    """INTERSECT / EXCEPT: customers with urgent orders but no low ones."""
+    """INTERSECT / EXCEPT: customers with urgent orders but no low ones.
+    One lazy plan (tagged union → agg) — no driver-side count() actions in
+    the query path; the zero-weight seed keeps both segments present even
+    when empty, matching the SQL twin's scalar COUNT(*) semantics."""
     o = _t(spark, sf, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
     both = urgent.intersect(low)
     only_urgent = urgent.distinct().exceptAll(low.distinct())
-    return spark.createDataFrame(
-        [("both", both.count()), ("urgent_only", only_urgent.count())],
-        "segment string, n long",
+    seed = spark.createDataFrame(
+        [("both", 0), ("urgent_only", 0)], "segment string, w long"
     )
+    tagged = (
+        both.select(F.lit("both").alias("segment"), F.lit(1).cast("long").alias("w"))
+        .unionByName(
+            only_urgent.select(
+                F.lit("urgent_only").alias("segment"), F.lit(1).cast("long").alias("w")
+            )
+        )
+        .unionByName(seed)
+    )
+    return tagged.groupBy("segment").agg(F.sum("w").alias("n"))
 
 
 SQL_SET_OPS = """

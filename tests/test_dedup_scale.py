@@ -1,0 +1,143 @@
+"""Scale-path dedup/similarity plans are EXACT twins of their pairwise forms.
+
+The 100 TB rule for this module: candidate generation must be an equi-join on
+a blocking key (simhash bit-blocks, LSH band codes, salted buckets), never a
+cartesian — and blocked output must equal the pairwise reference on real data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paperchase_crawler_spark.operators import dedup as D
+from paperchase_crawler_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _no_cartesian(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    return plan
+
+
+def test_simhash_banded_equals_pairwise(spark):
+    docs = _docs(spark)
+    banded = D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    pairwise = D.simhash_pairs(docs, "text", "doc_id", max_hamming=3, banded=False)
+    assert _rows(banded) == _rows(pairwise)
+    _no_cartesian(banded)
+
+
+def test_embedding_blocked_equals_exact(spark):
+    """Banded sign-LSH candidates + exact verify ≡ the all-pairs form, on a
+    corpus with planted near-dups (cos ≈ 0.9997) — measured recall 1.0."""
+    e = _emb(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    noisy = e.withColumnRenamed("vec_id", "ovid").select(
+        (F.col("ovid") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("v"), lambda x, i: x + 0.004 * F.sin(F.col("ovid") * 64 + i)
+        ).alias("v"),
+    )
+    u = e.unionByName(noisy)
+    blocked = D.embedding_dup_pairs(u, "v", "vec_id", threshold=0.9)
+    exact = D.embedding_dup_pairs(u, "v", "vec_id", threshold=0.9, n_bands=None)
+    b_rows, e_rows = _rows(blocked), _rows(exact)
+    assert b_rows == e_rows and len(b_rows) == e.count()  # one planted pair per vector
+    _no_cartesian(blocked)
+
+
+def test_jaccard_cap_exact_above_max_freq(spark):
+    """The contract cap (64) exceeds the testdata's max shingle doc-freq, so
+    the capped plan is bit-identical to the uncapped one."""
+    docs = _docs(spark)
+    sh = D.shingle_table(docs, "text", "doc_id", 3)
+    max_freq = (
+        sh.groupBy("shingle").agg(F.count("*").alias("f")).agg(F.max("f")).collect()[0][0]
+    )
+    assert max_freq < 64
+    capped = D.jaccard_pairs(docs, "text", "doc_id", 3, 0.5, max_doc_freq=64)
+    uncapped = D.jaccard_pairs(docs, "text", "doc_id", 3, 0.5)
+    assert _rows(capped) == _rows(uncapped)
+
+
+def test_jaccard_cap_bounds_zipf_skew(spark):
+    """Zipf shingles: one shingle in every doc. Uncapped, that shingle alone
+    makes N² join rows; the cap drops it from the join input entirely while
+    keeping the qualifying near-dup pair (which shares rare shingles too)."""
+    n = 60
+    rows = []
+    for i in range(n):
+        words = ["common common common"] + [f"w{i}a w{i}b w{i}c w{i}d"]
+        rows.append((i, " ".join(words)))
+    rows.append((n, rows[0][1]))  # exact near-dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_table(docs, "text", "doc_id", 3)
+    capped_sh = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("f")).filter(F.col("f") <= 10),
+        "shingle",
+    )
+    # the hot shingle ('common common common' appears in all docs) is gone
+    # from the join input → self-join rows collapse from ~N² to ~N
+    assert capped_sh.count() < sh.count()
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("f")).agg(F.max("f")).collect()[0][0]
+    assert hot == n + 1
+    pairs = D.jaccard_pairs(docs, "text", "doc_id", 3, 0.5, max_doc_freq=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, n) in got
+
+
+def test_ann_hot_bucket_guard_identical(spark):
+    """Salted hot-bucket replication changes task sizing, never results."""
+    e = _emb(spark)
+    planes = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("plane_idx"), "embedding"
+    )
+    guarded = S.lsh_bucketed_topk(e, planes, k=3, hot_bucket_cap=10, n_salts=4)
+    plain = S.lsh_bucketed_topk(e, planes, k=3)
+    assert _rows(guarded) == _rows(plain)
+
+
+def test_ann_hot_bucket_guard_spreads_salts(spark):
+    """All vectors in ONE bucket (identical vectors ⇒ identical sign bits):
+    the guard must spread the query side across >1 salt."""
+    base = [0.5] * 8
+    e = spark.createDataFrame(
+        [(i, [x + 0.001 * i for x in base]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("plane_idx"), "embedding"
+    )
+    with_b = S.with_lsh_bucket(e, planes, "embedding", "vec_id")
+    n_buckets = with_b.select("bucket").distinct().count()
+    assert n_buckets == 1  # genuinely hot
+    salts = (
+        with_b.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(4)).cast("int").alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+    guarded = S.lsh_bucketed_topk(
+        e, planes, k=2, hot_bucket_cap=10, n_salts=4
+    )
+    plain = S.lsh_bucketed_topk(e, planes, k=2)
+    assert _rows(guarded) == _rows(plain)
