@@ -40,120 +40,27 @@ HEADLINE = [
 
 
 def _frontier_round(spark) -> dict:
-    """One crawl round over a cached 2M-URL / 400k-host Zipf frontier —
-    in-session equivalent of bench/round_job.py (which spark-submits the
-    same phases for the two-parallelism scaling evidence)."""
-    import time as _t
+    """One crawl round over a cached 2M-URL / 400k-host Zipf bucketed
+    merge-on-read frontier — shares bench/round_job.run_round_bench with the
+    multi-parallelism scaling evidence (scripts/bench_scaling.py)."""
+    from bench.round_job import run_round_bench
+    from scripts.bench_scaling import gen_frontier
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from paperchase_crawler_spark.functions.hashing import xxh64_u64_vec
-    from paperchase_crawler_spark.functions.spark_udfs import (
-        IMAGES_SCHEMA,
-        OUTLINKS_SCHEMA,
-        canonicalize_udf,
-        fetch_images_map_in_pandas,
-        fetch_outlinks_map_in_pandas,
-    )
-    from paperchase_crawler_spark.operators.politeness import select_round
-    from paperchase_crawler_spark.operators.seen import BloomSeen, filter_new
-
-    rows, hosts, budget = 2_000_000, 400_000, 400_000
+    rows, hosts, budget, nb, salts = 2_000_000, 400_000, 400_000, 64, 2
     repo = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(repo, "BENCH", "fixtures", f"frontier{rows}h{hosts}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        w = np.arange(1, hosts + 1, dtype=np.float64) ** -1.2
-        cdf = np.cumsum(w) / w.sum()
-
-        def _mk(batches):
-            for pdf in batches:
-                ids = pdf["id"].to_numpy(np.uint64)
-                with np.errstate(over="ignore"):
-                    hz = xxh64_u64_vec(ids * np.uint64(13))
-                z = np.searchsorted(cdf, hz / 2.0**64, side="right")
-                yield pd.DataFrame(
-                    {
-                        "canon_url": [
-                            f"https://host{zz}.example/page/{i}"
-                            for zz, i in zip(z, ids)
-                        ],
-                        "host": [f"host{zz}.example" for zz in z],
-                        "depth": (ids % np.uint64(6)).astype(np.int32),
-                        "disc_seq": ids.astype(np.int64),
-                    }
-                )
-
-        (
-            spark.range(rows)
-            .repartition(64)
-            .mapInPandas(_mk, "canon_url string, host string, depth int, disc_seq long")
-            .withColumn("url_hash", F.xxhash64("canon_url"))
-            .withColumn("state", F.lit("queued"))
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-    frontier = spark.read.parquet(path)
-    hs = spark.range(hosts).select(
-        F.concat(F.lit("host"), F.col("id"), F.lit(".example")).alias("host"),
-        F.lit(1).alias("crawl_delay_rounds"),
-        (2 + F.col("id") % 4).cast("int").alias("tokens_per_round"),
-        F.lit(-1000000).alias("last_round"),
+    path = os.path.join(repo, "BENCH", "fixtures", f"ft{rows}h{hosts}")
+    gen_frontier(path, rows, hosts, nb, salts, spark=spark)
+    stats = run_round_bench(
+        spark, path, budget, hosts, frontier_salts=salts
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    t0 = _t.time()
-    queued = frontier.filter(F.col("state") == "queued").join(
-        F.broadcast(hs), on="host", how="inner"
-    )
-    ranked = (
-        select_round(queued, 1, budget, n_salts=16, rank_col="seq")
-        .select("canon_url", "url_hash", "host", "depth", "disc_seq", "seq")
-        .localCheckpoint()
-    )
-    n_selected = ranked.count()
-    fetched = (
-        ranked.repartition(n_parts, F.col("url_hash"))
-        .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
-        .localCheckpoint()
-    )
-    t_f0 = _t.time()
-    (
-        fetched.filter("has_image")
-        .select("canon_url", "url_hash")
-        .repartition(4 * spark.sparkContext.defaultParallelism, F.col("url_hash"))
-        .mapInPandas(fetch_images_map_in_pandas(True), IMAGES_SCHEMA)
-        .write.mode("overwrite")
-        .format("noop")
-        .save()
-    )
-    t_imgs = _t.time() - t_f0
-    n_images = int(
-        fetched.agg(F.sum(F.col("has_image").cast("long"))).collect()[0][0]
-    )
-    raw = fetched.select("seq", F.posexplode("outlinks").alias("pos", "raw_url"))
-    cand = raw.withColumn("canon_url", canonicalize_udf("raw_url")).withColumn(
-        "url_hash", F.xxhash64("canon_url")
-    )
-    dedup = (
-        cand.groupBy("url_hash")
-        .agg(F.min(F.struct("seq", "pos", "canon_url")).alias("s"))
-        .select("url_hash", "s.canon_url")
-    )
-    seen = frontier.select("url_hash")
-    bloom = BloomSeen(n_buckets=1024, m_bits=1 << 18, k=7)
-    shards = bloom.build(seen).localCheckpoint()
-    shards.count()
-    n_new = filter_new(dedup, seen, bloom, shards).count()
-    t_round = _t.time() - t0
     return {
-        "t_round": round(t_round, 3),
-        "frontier_rows": rows,
-        "n_selected": n_selected,
-        "n_images": n_images,
-        "n_new": n_new,
-        "frontier_urls_per_sec": round((n_selected + n_new) / t_round, 1),
-        "images_per_sec": round(n_images / t_imgs, 1),
+        "t_round": stats["t_round"],
+        "frontier_rows": stats["n_frontier"],
+        "n_selected": stats["n_selected"],
+        "n_images": stats["n_images"],
+        "n_new": stats["n_new"],
+        "frontier_urls_per_sec": stats["urls_per_sec"],
+        "images_per_sec": stats["images_per_sec"],
     }
 
 

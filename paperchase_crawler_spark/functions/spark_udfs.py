@@ -33,8 +33,8 @@ FETCH_SCHEMA = (
 
 OUTLINKS_SCHEMA = (
     "canon_url string, url_hash long, host string, depth int, disc_seq long, "
-    "seq long, status int, outlinks array<string>, has_image boolean, "
-    "fetch_partition int"
+    "round_disc int, seq long, status int, outlinks array<string>, "
+    "has_image boolean, fetch_partition int"
 )
 
 IMAGES_SCHEMA = (
@@ -70,6 +70,7 @@ def fetch_outlinks_map_in_pandas():
                     "host": pdf["host"].to_numpy(),
                     "depth": pdf["depth"].to_numpy("int32"),
                     "disc_seq": pdf["disc_seq"].to_numpy("int64"),
+                    "round_disc": pdf["round_disc"].to_numpy("int32"),
                     "seq": pdf["seq"].to_numpy("int64"),
                     "status": 200,
                     "outlinks": simweb.outlinks_batch(hashes),
@@ -107,6 +108,44 @@ def fetch_images_map_in_pandas(with_bytes: bool = True):
                         "caption": img["caption"],
                         "phash": img["phash"],
                     }
+                )
+
+    return _fetch
+
+
+def fetch_images_map_in_arrow(with_bytes: bool = True):
+    """Pass-2 fetch, Arrow-native (mapInArrow): encoded image buffers go
+    straight into a pyarrow RecordBatch — no pandas block manager, no
+    per-cell bytes-object round-trip through a DataFrame. Same output as
+    fetch_images_map_in_pandas (pinned by tests/test_simweb.py); this is the
+    hot path for the ~60 KB/row binary column, where the pandas wrapper is
+    pure overhead (SURVEY.md §2.2 mapInArrow row)."""
+    import pyarrow as pa
+
+    CHUNK = 256  # ~16MB output batches — same sizing rationale as the pandas path
+
+    def _fetch(batches):
+        for rb in batches:
+            n = rb.num_rows
+            urls = rb.column(rb.schema.get_field_index("canon_url"))
+            hashes_all = rb.column(rb.schema.get_field_index("url_hash")).to_numpy(
+                zero_copy_only=False
+            )
+            for lo in range(0, n, CHUNK):
+                hi = min(lo + CHUNK, n)
+                hashes = hashes_all[lo:hi]
+                img = simweb.images_batch(hashes, with_bytes=with_bytes)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        urls.slice(lo, hi - lo),
+                        pa.array(img["bytes"], type=pa.binary()),
+                        pa.array(img["w"], type=pa.int32()),
+                        pa.array(img["h"], type=pa.int32()),
+                        pa.array(img["fmt"], type=pa.string()),
+                        pa.array(img["caption"], type=pa.string()),
+                        pa.array(img["phash"], type=pa.int64()),
+                    ],
+                    names=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
                 )
 
     return _fetch

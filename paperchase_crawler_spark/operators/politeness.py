@@ -37,7 +37,11 @@ def eligible_hosts(joined: DataFrame, round_no: int) -> DataFrame:
     )
 
 
-def per_host_topk_salted(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+def per_host_topk_salted(
+    df: DataFrame,
+    n_salts: int = DEFAULT_SALTS,
+    hot_threshold: int | None = None,  # kept for API compat; unused
+) -> DataFrame:
     """Keep the per-host top ``tokens_per_round`` queued rows by R3 order.
 
     PRECONDITION: ``tokens_per_round`` is constant within each host (it comes
@@ -46,7 +50,14 @@ def per_host_topk_salted(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFra
     host-rank ≤ tokens (survives pass 1), and no row ranked below tokens can
     be promoted in pass 2 because everything ahead of it also survived.
     With row-varying tokens a dropped-ahead row could promote a later row —
-    tests/test_politeness_robots.py pins the per-host-constant case."""
+    tests/test_politeness_robots.py pins the per-host-constant case.
+
+    Design note (measured, round 2): a "hot-host-aware" variant that salts
+    only sampled-hot hosts to skip pass 2 for cold ones was tried and
+    REVERTED — splitting pass-1 survivors into cold/hot branches recomputes
+    the full pass-1 lineage twice, which costs far more than pass 2's
+    shuffle of the survivor set (≤ n_salts × tokens per host, ~1-2% of the
+    frontier here and ~host_count × tokens at the 10^10 design point)."""
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64("canon_url"), F.lit(n_salts)).cast("int")
     )
@@ -73,13 +84,14 @@ def select_round(
     n_salts: int = DEFAULT_SALTS,
     rank_col: str | None = None,
     rank_start: int = 0,
+    hot_threshold: int | None = None,  # kept for API compat; unused
 ) -> DataFrame:
     """Full R5 selection: delay gate → salted per-host top-k → global budget.
 
     With ``rank_col`` set, the budget cut also emits each row's exact global
     R3-order rank (fused single pass — the crawl ordering artifact)."""
     elig = eligible_hosts(queued_with_host_state, round_no)
-    per_host = per_host_topk_salted(elig, n_salts)
+    per_host = per_host_topk_salted(elig, n_salts, hot_threshold)
     if rank_col is not None:
         return global_topk_ranked(
             per_host, R3_KEYS, round_budget, rank_col, rank_start

@@ -115,7 +115,10 @@ class BloomSeen:
         self, candidates: DataFrame, shards: DataFrame, url_hash: str = "url_hash"
     ) -> DataFrame:
         """Append ``maybe_seen`` to candidates. False ⇒ certainly not in the
-        filter (no false negatives)."""
+        filter (no false negatives). A bucket may hold SEVERAL shard rows
+        (the incremental commit path appends one per round between
+        compactions); the probe ORs them — OR-of-shards == shard-of-union,
+        so incremental and compacted filters answer identically."""
         m_bits, k = self.m_bits, self.k
         out_schema = StructType(
             candidates.schema.fields + [StructField("maybe_seen", BooleanType(), False)]
@@ -128,6 +131,10 @@ class BloomSeen:
                 out["maybe_seen"] = False
                 return out
             bits = np.frombuffer(shard["bitset"].iloc[0], dtype=np.uint8)
+            if len(shard) > 1:
+                bits = bits.copy()
+                for b in shard["bitset"].iloc[1:]:
+                    bits |= np.frombuffer(b, dtype=np.uint8)
             u = cand[url_hash].to_numpy(dtype=np.int64).view(np.uint64)
             pos = _bit_positions(u, m_bits, k)
             hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0

@@ -2,14 +2,18 @@
 
 Each round is a Catalyst-planned batch job over snapshot-versioned tables:
 
-  SELECT  queued ⋈ broadcast(host_state) → R5 salted politeness windows →
+  SELECT  bucketed merge-on-read frontier → per-bucket Arrow merge +
+          per-host top-k (NO shuffle: operators/frontier_select) →
+          ⋈ broadcast(host_state) eligibility + exact tokens cut →
           exact global budget cut (no single-partition sort)
   FETCH   mapInPandas over Arrow batches (simweb: outlinks + image decode)
   EXPAND  posexplode(outlinks) → canonicalize (vectorized pandas UDF) →
           xxhash64 → first-discovery dedup (min struct) → seen anti-join
           (optionally Bloom-accelerated) → robots gate (JVM HOFs) → new rows
-  COMMIT  corpus.append ∥ seen.append ∥ frontier.overwrite ∥ host_state
-          update ∥ ordering/metrics append — then one atomic CHECKPOINT swap
+  COMMIT  corpus.append ∥ seen.append ∥ frontier DELTA append (state
+          transitions + new rows; compacted when deltas outgrow the base) ∥
+          host_state update ∥ ordering/metrics append — then one atomic
+          CHECKPOINT swap
 
 Why batch-iterative and not Structured Streaming: crawl-ordering equality with
 the reference contract (BASELINE.json north_rule) needs deterministic global
@@ -21,12 +25,16 @@ Determinism: every cut/rank is keyed by the total order (depth, disc_seq) or
 parallelism, and AQE decisions. pytest asserts exact ordering/seen/corpus
 equality against oracle/crawler.py at two parallelism levels.
 
-Scale notes (10^10 design point): the frontier overwrite rewrites only
-frontier-sized metadata + rows (images never enter wide shuffles; corpus bytes
-take the append-only path); the seen anti-join is Bloom-pre-filtered so only
-~FPR of duplicate traffic reaches the exact join; fetch results are
-checkpointed once and feed four consumers without re-fetch. On a real cluster
-replace localCheckpoint with persist(DISK_ONLY) and icetable with Iceberg."""
+Scale notes (10^10 design point): a round touches O(selected + discovered)
+rows, never O(frontier) — SELECT is a narrow per-bucket scan (the bucket
+layout IS the partitioning), the frontier commit appends only the round's
+state transitions + new rows (merge-on-read, compaction-managed), the Bloom
+commit appends only the round's new-key shards (probe ORs shard rows), and
+images never enter wide shuffles (corpus bytes take the append-only path).
+The seen anti-join is Bloom-pre-filtered so only ~FPR of duplicate traffic
+reaches the exact join; fetch results are checkpointed once and feed four
+consumers without re-fetch. On a real cluster replace localCheckpoint with
+persist(DISK_ONLY) and icetable with Iceberg (bucket transform + MERGE)."""
 
 from __future__ import annotations
 
@@ -45,8 +53,14 @@ from ..functions.spark_udfs import (
     fetch_images_map_in_pandas,
     fetch_outlinks_map_in_pandas,
 )
-from ..operators.ordering import with_global_rank
-from ..operators.politeness import select_round
+from ..operators.frontier_select import (
+    exact_per_host_cut,
+    frontier_bucket_col,
+    merged_frontier,
+    select_candidates,
+)
+from ..operators.ordering import global_topk_ranked, with_global_rank
+from ..operators.politeness import R3_KEYS, eligible_hosts
 from ..operators.robots import blocked_expr, path_col
 from ..operators.seen import BloomSeen, filter_new
 from ..schemas import HOST_STATE
@@ -67,6 +81,11 @@ class CrawlRunner:
         n_salts: int = 8,
         bloom: BloomSeen | None = None,
         with_bytes: bool = True,
+        frontier_buckets: int = 16,
+        frontier_salts: int = 1,
+        max_tokens: int = 8,
+        compact_delta_frac: float = 0.5,
+        bloom_shards_per_bucket: int = 8,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -74,6 +93,15 @@ class CrawlRunner:
         self.n_salts = n_salts
         self.bloom = bloom
         self.with_bytes = with_bytes
+        # frontier MoR layout: host-hash buckets × url-hash salts; max_tokens
+        # is the engine-wide upper bound on any host's tokens_per_round (the
+        # per-bucket Arrow pre-cut keeps that many rows per host — asserted
+        # against host_state at init)
+        self.frontier_buckets = frontier_buckets
+        self.frontier_salts = frontier_salts
+        self.max_tokens = max_tokens
+        self.compact_delta_frac = compact_delta_frac
+        self.bloom_shards_per_bucket = bloom_shards_per_bucket
         self.frontier = IceTable(os.path.join(workdir, "frontier"))
         self.corpus = IceTable(os.path.join(workdir, "corpus"))
         self.seen = IceTable(os.path.join(workdir, "seen"))
@@ -110,6 +138,11 @@ class CrawlRunner:
             },
             "round_budget": self.round_budget,
             "n_salts": self.n_salts,
+            "frontier_buckets": self.frontier_buckets,
+            "frontier_salts": self.frontier_salts,
+            "max_tokens": self.max_tokens,
+            "compact_delta_frac": self.compact_delta_frac,
+            "bloom_shards_per_bucket": self.bloom_shards_per_bucket,
             "bloom": None
             if self.bloom is None
             else {
@@ -142,6 +175,11 @@ class CrawlRunner:
             n_salts=state["n_salts"],
             bloom=bloom,
             with_bytes=state["with_bytes"],
+            frontier_buckets=state["frontier_buckets"],
+            frontier_salts=state["frontier_salts"],
+            max_tokens=state["max_tokens"],
+            compact_delta_frac=state["compact_delta_frac"],
+            bloom_shards_per_bucket=state["bloom_shards_per_bucket"],
         )
         r.round = state["round"]
         r.next_disc_seq = state["next_disc_seq"]
@@ -157,6 +195,33 @@ class CrawlRunner:
             if it.current_snapshot_id() != tbl:
                 it.rollback(tbl)
         return r
+
+    # -- frontier MoR commits ---------------------------------------------------
+
+    def _with_layout(self, df: DataFrame) -> DataFrame:
+        nb, s = self.frontier_buckets, self.frontier_salts
+        return (
+            df.withColumn("__rev", F.lit(self.frontier._next_sid()).cast("int"))
+            .withColumn("__fb", frontier_bucket_col(nb, s))
+            .repartition(nb * s, F.col("__fb"))
+        )
+
+    def _frontier_overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
+        self.frontier.overwrite_bucketed(
+            self._with_layout(df.select(*FRONTIER_COLS)),
+            n_buckets=self.frontier_buckets * self.frontier_salts,
+            meta=meta,
+        )
+
+    def _frontier_append_delta(self, df: DataFrame, meta: dict | None = None) -> None:
+        """O(changed rows) frontier commit; compaction folds deltas into a
+        fresh base once they exceed compact_delta_frac of it."""
+        self.frontier.append_bucketed_delta(
+            self._with_layout(df.select(*FRONTIER_COLS)), meta=meta
+        )
+        if self.frontier.delta_fraction() > self.compact_delta_frac:
+            merged = merged_frontier(self.spark, self.frontier)
+            self._frontier_overwrite(merged, meta={"op": "compaction"})
 
     # -- init ------------------------------------------------------------------
 
@@ -183,6 +248,13 @@ class CrawlRunner:
             for h in simweb.host_state_rows(last_round=-(10**6))
         ]
         hs = spark.createDataFrame(host_rows, HOST_STATE)
+        max_tok = hs.agg(F.max("tokens_per_round")).collect()[0][0]
+        if max_tok > self.max_tokens:
+            raise ValueError(
+                f"host_state tokens_per_round max {max_tok} exceeds the "
+                f"engine bound max_tokens={self.max_tokens} — the bucket-local "
+                "politeness pre-cut would drop selectable rows"
+            )
         self.host_state.overwrite(hs)
 
         seed_df = spark.createDataFrame(
@@ -202,7 +274,7 @@ class CrawlRunner:
         rows = self._new_frontier_rows(
             ranked.withColumn("depth", F.lit(0)), round_disc=0
         )
-        self.frontier.overwrite(rows.select(*FRONTIER_COLS), meta={"round": 0})
+        self._frontier_overwrite(rows, meta={"round": 0})
         self.seen.append(rows.select("url_hash"), meta={"round": 0})
         if self.bloom is not None:
             self.bloom_shards.overwrite(
@@ -244,22 +316,22 @@ class CrawlRunner:
         r = self.round + 1
         spark = self.spark
 
-        # SELECT: queued ⋈ broadcast(host_state) → R5 → budget
-        frontier_df = self.frontier.read(spark)
+        # SELECT: per-bucket Arrow merge + per-host top-k (no shuffle; the
+        # frontier's bucket layout is the partitioning) → broadcast
+        # host_state eligibility (R5 delay) + exact tokens cut → exact
+        # global budget cut. A round never shuffles O(frontier).
+        cand = select_candidates(spark, self.frontier, self.max_tokens)
         hs = self._host_state_df().select(
             "host", "crawl_delay_rounds", "tokens_per_round", "last_round"
         )
-        queued = frontier_df.filter(F.col("state") == "queued").join(
-            F.broadcast(hs), on="host", how="inner"
+        elig = eligible_hosts(cand.join(F.broadcast(hs), on="host", how="inner"), r)
+        per_host = exact_per_host_cut(elig, self.frontier_salts)
+        ranked = global_topk_ranked(
+            per_host, R3_KEYS, self.round_budget, "seq", self.next_seq
+        ).select(
+            "canon_url", "url_hash", "host", "depth", "disc_seq",
+            "round_disc", "seq",
         )
-        ranked = select_round(
-            queued,
-            r,
-            self.round_budget,
-            self.n_salts,
-            rank_col="seq",
-            rank_start=self.next_seq,
-        ).select("canon_url", "url_hash", "host", "depth", "disc_seq", "seq")
 
         # FETCH pass 1 (outlinks + has_image, no media bytes): the budget cut
         # leaves only the few range partitions holding the selected rows —
@@ -382,11 +454,20 @@ class CrawlRunner:
         if n_new:
             self.seen.append(new_rows.select("url_hash"), meta={"round": r})
             if self.bloom is not None:
-                merged = self.bloom.merge(
-                    self.bloom_shards.read(spark),
+                # incremental: append ONLY the round's new-key shards (the
+                # probe ORs a bucket's shard rows); compact by merging once
+                # a bucket accumulates bloom_shards_per_bucket shards
+                self.bloom_shards.append(
                     self.bloom.build(new_rows.select("url_hash")),
+                    meta={"round": r},
                 )
-                self.bloom_shards.overwrite(merged, meta={"round": r})
+                snap = self.bloom_shards.snapshot()
+                n_shard_rows = snap["total_rows"]
+                if n_shard_rows > self.bloom.n_buckets * self.bloom_shards_per_bucket:
+                    self.bloom_shards.overwrite(
+                        self.bloom.merge(self.bloom_shards.read(spark)),
+                        meta={"round": r, "op": "compaction"},
+                    )
         fetched_hosts = fetched.select("host").distinct()
         hs_full = self._host_state_df()
         hs_next = (
@@ -404,30 +485,22 @@ class CrawlRunner:
             .drop("__hit")
         )
         self.host_state.overwrite(hs_next.select(*[f.name for f in HOST_STATE.fields]))
-        frontier_next = (
-            frontier_df.join(
-                fetched.select("url_hash").withColumn("__f", F.lit(1)),
-                on="url_hash",
-                how="left",
+        # frontier delta: the fetched rows' state transitions (full
+        # replacement rows — fetched carries every frontier column through
+        # the pipeline) + the round's new discoveries. O(changed), never a
+        # full-table rewrite; merge-on-read resolves by __rev.
+        updated = (
+            fetched.select(
+                "canon_url", "url_hash", "host", "depth", "disc_seq", "round_disc"
             )
-            .withColumn(
-                "state",
-                F.when(F.col("__f").isNotNull(), F.lit("fetched")).otherwise(
-                    F.col("state")
-                ),
-            )
-            .withColumn(
-                "round_done",
-                F.when(F.col("__f").isNotNull(), F.lit(r)).otherwise(
-                    F.col("round_done")
-                ),
-            )
-            .drop("__f")
-            .select(*FRONTIER_COLS)
-            .unionByName(new_rows.select(*FRONTIER_COLS))
+            .withColumn("priority", -F.col("depth").cast("double"))
+            .withColumn("state", F.lit("fetched"))
+            .withColumn("round_done", F.lit(r).cast("int"))
         )
-        self.frontier.overwrite(
-            frontier_next,
+        self._frontier_append_delta(
+            updated.select(*FRONTIER_COLS).unionByName(
+                new_rows.select(*FRONTIER_COLS)
+            ),
             meta={"round": r, "partitions": part_metrics},
         )
         self.next_seq += n_selected
@@ -446,6 +519,10 @@ class CrawlRunner:
         return [self.run_round() for _ in range(rounds)]
 
     # -- artifacts ---------------------------------------------------------------
+
+    def frontier_df(self) -> DataFrame:
+        """Merged (last-wins) view of the MoR frontier."""
+        return merged_frontier(self.spark, self.frontier)
 
     def ordering_df(self) -> DataFrame:
         return self.ordering.read(self.spark)
