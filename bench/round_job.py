@@ -83,9 +83,12 @@ def run_round_bench(
 
     if warmup:
         # prime codegen, shuffle machinery, the Python worker pool, and the
-        # page cache for the frontier files (a real cluster reads through
-        # per-node disks; this box shares one, so warm reads carry the
-        # executor-scaling signal, cold reads only the disk's)
+        # page cache for EVERY frontier bucket file (a real cluster reads
+        # through per-node disks; this box shares one, so warm reads carry
+        # the executor-scaling signal, cold reads only the disk's)
+        select_candidates(spark, tbl, max_tokens).write.mode(
+            "overwrite"
+        ).format("noop").save()
         w = _select().limit(40_000).localCheckpoint()
         (
             w.repartition(n_parts, F.col("url_hash"))

@@ -121,16 +121,17 @@ def _img_kernel(args):
     from paperchase_crawler_spark import simweb
 
     h = np.arange(lo, lo + n, dtype=np.int64) * 7919
-    simweb.images_batch(h, with_bytes=True)
-    return n
+    img = simweb.images_batch(h, with_bytes=True)
+    return int(img["has_image"].sum())  # count IMAGES, same unit as the bench
 
 
-def hardware_ceiling(levels: list[int], n_imgs: int = 38400) -> dict[int, float]:
-    """images/sec of a bare multiprocessing pool per level — the same-day
-    upper bound any Spark stage on this box can reach."""
+def hardware_ceiling(levels: list[int], n_rows: int = 128_000) -> dict[int, float]:
+    """images/sec of a bare multiprocessing pool running the identical
+    fetch kernel — the same-day upper bound any Spark stage on this box can
+    reach, in the same unit as the bench's images_per_sec."""
     sys.path.insert(0, REPO)
-    chunk = 300
-    tasks = [(i * chunk, chunk) for i in range(n_imgs // chunk)]
+    chunk = 500
+    tasks = [(i * chunk, chunk) for i in range(n_rows // chunk)]
     out: dict[int, float] = {}
     for procs in levels:
         with mp.Pool(procs) as p:
@@ -282,10 +283,13 @@ broadcast dimensions, bucket-local merges, append-only deltas).
 hardware ceiling for the same pairing: {ceil_n4n})
 Image-fetch stage efficiency {lo}→{mid}: {img_eff(mid, lo, mid / lo)}.
 
-Transparency pairing {mid}→{hi} (crosses this VM's bandwidth wall):
-urls {eff_hi} vs hardware ceiling {ceil_hi}
-(imgs stage {img_eff(hi, mid, hi / mid)}); the Spark plan tracks the ceiling —
-the gap to 1.0 is the box, not the plan.
+Transparency pairing {mid}→{hi}: urls {eff_hi}, image stage
+{img_eff(hi, mid, hi / mid)}, same-session hardware ceiling {ceil_hi}.
+What doesn't scale {mid}→{hi} on one node is the ~13 s of JVM phase floor
+(select/expand barriers, shuffle machinery) that is near-constant in cores
+here; it is O(selected+discovered) work that amortizes at cluster-scale
+rounds (10^8+ rows/round), while the compute-dense image stage follows the
+box's ceiling. CPU-steal on this shared VM moves both numbers run to run.
 
 Hardware: 32-core / 125 GB sandbox, Spark 4.1.2, Java 17, Python 3.11.
 10^10-URL design point: per-URL cost here is

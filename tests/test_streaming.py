@@ -15,6 +15,7 @@ from paperchase_crawler_spark.streaming.events import (
     run_stream_to_memory,
     sessionized,
     stateful_user_totals,
+    stateful_user_totals_tws,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -67,6 +68,68 @@ def test_stateful_user_totals(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas' state-server protocol requires "
+    "google.protobuf, which this sandbox does not ship (no pip); the "
+    "operator wiring is still importable/plannable — see "
+    "test_transform_with_state_plans below",
+)
+def test_transform_with_state_user_totals(spark, events_dir):
+    """transformWithStateInPandas (Spark 4.x stateful API, RocksDB-backed
+    state) reproduces the batch ground truth, same check as the
+    applyInPandasWithState twin."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_user_totals_tws(read_events_stream(spark, events_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("user_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM user_totals_tws").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_plans(spark, events_dir):
+    """The transformWithStateInPandas operator builds and analyzes (the part
+    that doesn't need the protobuf state protocol): streaming plan contains
+    the TransformWithStateInPySpark node with our output schema."""
+    stream = stateful_user_totals_tws(read_events_stream(spark, events_dir))
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "user_id", "n_events", "total_value",
+    ]
+    assert "transformWithState" in stream._jdf.queryExecution().logical().toString()
 
 
 def test_session_window_stream(spark, events_dir):
