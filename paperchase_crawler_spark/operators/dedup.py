@@ -57,9 +57,14 @@ def jaccard_pairs(
     """
     sh = shingle_table(df, text_col, id_col, k)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+        # doc-frequency via an unordered window over shingle: one shuffle,
+        # no recompute of the shingle plan for a join-back, and the hot
+        # shingle costs f rows in one task instead of the f² join rows the
+        # cap exists to prevent
+        w = Window.partitionBy("shingle")
         sh = (
-            sh.join(freq.filter(F.col("__f") <= max_doc_freq), "shingle", "inner")
+            sh.withColumn("__f", F.count("*").over(w))
+            .filter(F.col("__f") <= max_doc_freq)
             .drop("__f")
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -132,22 +137,37 @@ def minhash_lsh_pairs(
     band-bucket join shuffles only (bucket_key, doc_id)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    pairs = None
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + j}" for j in range(rows_per_band)]
-        banded = sig.select(
-            "doc_id", F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("bucket")
+    # ONE band-exploded equi-join on (band, bucket) instead of a union of
+    # per-band self-joins: the union form recomputes the signature plan 2×
+    # per band (2×bands scans of the corpus); this computes it once per join
+    # side and shuffles only (band, bucket, doc_id)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("bucket"),
         )
-        l, r = banded.alias("l"), banded.alias("r")
-        p = (
-            l.join(r, on="bucket")
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(
-                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-            )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -90,6 +90,68 @@ def with_lsh_bucket(
     return df.join(bits, df[id_col] == bits["vid"]).drop("vid")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate all-pairs top-k: assign every vector
+    to its ``nprobe`` highest-dot-product coarse cells (``centroids`` is a
+    tiny broadcast (cell_idx, vec) table — at scale, k-means centroids; the
+    contract derives them from fixed corpus rows so the SQL twin is exact),
+    then search neighbours only within shared cells. Candidate generation is
+    a (cell) equi-join — shuffle is cell-local, the same scale shape as the
+    LSH path but with data-adaptive cells. nprobe > 1 is the recall knob:
+    queries probe their ``nprobe`` nearest cells (neighbours stay indexed in
+    their top-1 cell, the IVF convention).
+
+    Output: (query_id, neighbor_id, cosine, rank) for each corpus row with
+    ≥1 co-cell neighbour."""
+    c = centroids.select(
+        F.col("cell_idx"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    w_assign = Window.partitionBy("vid").orderBy(
+        (_dot(F.col("v"), F.col("cv")) / F.col("cn")).desc(), F.col("cell_idx").asc()
+    )
+    assigned = (
+        v.join(F.broadcast(c))
+        .withColumn("__cr", F.row_number().over(w_assign))
+        .filter(F.col("__cr") <= nprobe)
+        .select("vid", "v", "n", "cell_idx", F.col("__cr").alias("probe_rank"))
+    )
+    a = assigned.alias("a")  # query side: probes nprobe cells
+    b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # indexed in top cell
+    scored = (
+        a.join(b, on="cell_idx")
+        .filter(F.col("a.vid") != F.col("b.vid"))
+        .withColumn(
+            "cosine", _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+        )
+        .select(
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            "cosine",
+        )
+        .distinct()  # nprobe>1 can reach the same neighbour via 2 cells
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     planes: DataFrame,

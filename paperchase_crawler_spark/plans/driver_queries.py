@@ -756,6 +756,41 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_ivf(spark, sf):
+    """IVF coarse-cell ANN: cells from fixed corpus rows (SQL-expressible
+    stand-in for k-means centroids), nprobe=2 recall knob."""
+    e = _t(spark, sf, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell_idx"), "embedding"
+    )
+    return S.ivf_topk(e, centroids, k=3, nprobe=2)
+
+
+SQL_ANN_IVF = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+cent AS (SELECT vec_id AS cell_idx, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+         FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT * FROM (
+    SELECT n.vec_id AS vid, n.v, n.nrm, c.cell_idx,
+      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        ORDER BY list_dot_product(n.v, c.cv) / c.cn DESC, c.cell_idx ASC)
+        AS probe_rank
+    FROM n CROSS JOIN cent c)
+  WHERE probe_rank <= 2),
+scored AS (
+  SELECT DISTINCT a.vid AS query_id, b.vid AS neighbor_id,
+    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell_idx = b.cell_idx AND b.probe_rank = 1 AND a.vid != b.vid)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -1129,6 +1164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_text_quality": q_text_quality,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
@@ -1168,6 +1204,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_dedup_embedding": SQL_EMBED_DUP,
     "q_ann_bruteforce": SQL_ANN_BF,
     "q_ann_lsh": SQL_ANN_LSH,
+    "q_ann_ivf": SQL_ANN_IVF,
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_langid": SQL_LANGID,
     "q_fingerprint": SQL_FINGERPRINT,

@@ -103,6 +103,45 @@ def test_jaccard_cap_bounds_zipf_skew(spark):
     assert (0, n) in got
 
 
+def test_minhash_band_explode_no_cartesian(spark):
+    """Band-exploded minhash LSH: single (band, bucket) equi-join plan, no
+    per-band union recomputing the signatures."""
+    pairs = D.minhash_lsh_pairs(_docs(spark), "text", "doc_id", 3, 8, 4)
+    plan = _no_cartesian(pairs)
+    assert plan.count("Scan parquet") <= 2  # one per join side, not 2×bands
+
+
+def test_ivf_topk_cells_and_recall(spark):
+    """IVF: every query's neighbours share a coarse cell; nprobe=2 finds at
+    least as much as nprobe=1; ranks are exact cosine order within results."""
+    e = _emb(spark)
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell_idx"), "embedding"
+    )
+    r1 = S.ivf_topk(e, centroids, k=3, nprobe=1)
+    r2 = S.ivf_topk(e, centroids, k=3, nprobe=2)
+    plan = r2._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop joins allowed are the deliberate broadcasts of
+    # the tiny centroid table for cell assignment (once per self-join side);
+    # the candidate join must be a cell_idx equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert "cell_idx" in plan and (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    )
+    n1 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in r1.collect()}
+    rows2 = r2.collect()
+    assert len(rows2) >= len(n1) > 0
+    # per-query cosine ordering is strictly ranked
+    by_q: dict = {}
+    for r in rows2:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        cosines = [c for _, c in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_ann_hot_bucket_guard_identical(spark):
     """Salted hot-bucket replication changes task sizing, never results."""
     e = _emb(spark)
