@@ -258,6 +258,26 @@ class IceTable:
             f.write(str(snapshot_id))
         os.replace(vtmp, self._version_file())
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Iceberg-style retention: drop all but the newest ``keep_last``
+        snapshot JSONs (never the current one), then vacuum data dirs no
+        surviving snapshot references. Bounds metadata AND data growth for
+        long crawls — without it every frontier delta/compaction generation
+        stays pinned forever. Returns the number of snapshots removed."""
+        ids = self.snapshot_ids()
+        current = self.current_snapshot_id()
+        keep = set(ids[-keep_last:])
+        if current is not None:
+            keep.add(current)
+        removed = 0
+        for sid in ids:
+            if sid not in keep:
+                os.remove(os.path.join(self.meta_dir, f"snap-{sid}.json"))
+                removed += 1
+        if removed:
+            self.expire_orphans()
+        return removed
+
     def expire_orphans(self) -> int:
         """Remove data dirs not referenced by any snapshot (vacuum)."""
         referenced: set[str] = set()

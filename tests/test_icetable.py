@@ -63,6 +63,20 @@ def test_commit_empty_carries_meta(spark, tbl):
     assert sorted(r.x for r in tbl.read(spark).collect()) == [1, 2]
 
 
+def test_expire_snapshots_retention(spark, tbl):
+    for i in range(6):
+        tbl.overwrite(_df(spark, [i]))
+    assert len(tbl.snapshot_ids()) == 6
+    n_dirs_before = len(os.listdir(tbl.data_dir))
+    removed = tbl.expire_snapshots(keep_last=2)
+    assert removed == 4
+    assert tbl.snapshot_ids() == [4, 5]
+    # expired snapshots' data dirs were vacuumed; current still reads
+    assert len(os.listdir(tbl.data_dir)) < n_dirs_before
+    assert sorted(r.x for r in tbl.read(spark).collect()) == [5]
+    assert sorted(r.x for r in tbl.read(spark, 4).collect()) == [4]
+
+
 def test_rollback_to_empty_and_no_id_reuse(spark, tbl):
     tbl.append(_df(spark, [1]))      # snap 0
     tbl.append(_df(spark, [2]))      # snap 1
