@@ -518,6 +518,21 @@ class CrawlRunner:
     def run(self, rounds: int) -> list[dict[str, Any]]:
         return [self.run_round() for _ in range(rounds)]
 
+    def maintain(self, keep_last: int = 10) -> dict[str, int]:
+        """Snapshot retention across all engine tables (call between rounds,
+        AFTER a checkpoint commit — the current snapshot is always kept, so
+        resume-from-latest-checkpoint survives maintenance; older
+        time-travel history is traded for bounded storage)."""
+        out: dict[str, int] = {}
+        for name in (
+            "frontier", "corpus", "seen", "ordering",
+            "crawl_log", "host_state", "bloom_shards",
+        ):
+            tbl: IceTable = getattr(self, name)
+            if tbl.current_snapshot_id() is not None:
+                out[name] = tbl.expire_snapshots(keep_last)
+        return out
+
     # -- artifacts ---------------------------------------------------------------
 
     def frontier_df(self) -> DataFrame:

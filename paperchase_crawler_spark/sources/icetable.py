@@ -279,11 +279,18 @@ class IceTable:
         return removed
 
     def expire_orphans(self) -> int:
-        """Remove data dirs not referenced by any snapshot (vacuum)."""
+        """Remove data dirs not referenced by any snapshot (vacuum).
+
+        Bucketed commits nest files one level deeper (``s<id>-<uuid>/
+        __fb=<b>/part-*``), so a top-level dir is referenced if any snapshot
+        file lives anywhere UNDER it — not only directly inside it."""
         referenced: set[str] = set()
         for sid in self.snapshot_ids():
             for f in self.snapshot(sid)["files"]:
-                referenced.add(os.path.dirname(f))
+                d = os.path.dirname(f)
+                while len(d) > len(self.data_dir):
+                    referenced.add(d)
+                    d = os.path.dirname(d)
         removed = 0
         for sub in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, sub)

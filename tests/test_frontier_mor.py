@@ -92,6 +92,26 @@ def test_crawl_equivalence_with_salts_and_eager_compaction(spark, tmp_path):
     assert runner.frontier.delta_fraction() == 0.0
 
 
+def test_maintenance_keeps_resume_working(spark, tmp_path):
+    """expire_snapshots between rounds must not break crash-resume or change
+    any artifact (the checkpointed current snapshots are always retained)."""
+    oracle = oracle_crawl(SEEDS, rounds=3, round_budget=120)
+    wd = str(tmp_path / "m")
+    runner = CrawlRunner(spark, wd, round_budget=120, with_bytes=False)
+    runner.init_from_seeds(SEEDS)
+    runner.run(2)
+    removed = runner.maintain(keep_last=1)
+    assert sum(removed.values()) > 0
+    resumed = CrawlRunner.resume(spark, wd)
+    resumed.run(1)
+    eng = [
+        (r["seq"], r["round"], r["canon_url"])
+        for r in resumed.ordering_df().orderBy("seq").collect()
+    ]
+    assert eng == oracle.ordering
+    assert {r["url_hash"] for r in resumed.seen_df().collect()} == oracle.seen
+
+
 def test_frontier_delta_commit_is_o_changed(spark, tmp_path):
     """A round's frontier commit writes o(frontier) bytes (the delta), and
     the snapshot metadata proves it: delta rows ≪ base rows."""
