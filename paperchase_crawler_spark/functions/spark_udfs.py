@@ -2,11 +2,14 @@
 
 - ``canonicalize_udf`` — R1 canonicalization, pandas-vectorized common path
   (functions/urlnorm.canon_series).
-- ``fetch_map_in_pandas`` — the batch "network fetch + parse + decode" stage:
-  an ``mapInPandas`` iterator function over Arrow batches evaluating simweb
-  (the deterministic fake web). Outlink sub-hashes run through the numpy
-  vectorized XXH64; image synthesis/encoding is per-image content generation
-  (the stand-in for network + codec work).
+- ``fetch_outlinks_map_in_pandas`` — pass-1 "network fetch + parse" stage:
+  a ``mapInPandas`` iterator over Arrow batches evaluating simweb (the
+  deterministic fake web); outlink sub-hashes run through the numpy
+  vectorized XXH64.
+- ``fetch_images_map_in_pandas`` / ``fetch_images_map_in_arrow`` — pass-2
+  image synthesis/decode/encode (the stand-in for network + codec work); the
+  Arrow form is the production hot path (no pandas round-trip for the binary
+  column), the pandas form is its property-tested twin.
 """
 
 from __future__ import annotations
@@ -21,14 +24,6 @@ from .. import simweb
 from .urlnorm import canon_series
 
 canonicalize_udf = F.pandas_udf(canon_series, StringType())
-
-
-FETCH_SCHEMA = (
-    "canon_url string, url_hash long, host string, depth int, disc_seq long, "
-    "seq long, status int, outlinks array<string>, has_image boolean, "
-    "image_bytes binary, w int, h int, fmt string, caption string, phash long, "
-    "fetch_partition int"
-)
 
 
 OUTLINKS_SCHEMA = (
@@ -151,44 +146,3 @@ def fetch_images_map_in_arrow(with_bytes: bool = True):
     return _fetch
 
 
-def fetch_map_in_pandas(with_bytes: bool = True):
-    """Build the mapInPandas function for the FETCH stage.
-
-    Input batches need columns (canon_url, url_hash, host, depth, disc_seq,
-    seq); output matches FETCH_SCHEMA. ``fetch_partition`` records the task
-    partition for per-partition lineage metrics (north_rule).
-    """
-
-    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            hashes = pdf["url_hash"].to_numpy("int64")
-            links = simweb.outlinks_batch(hashes)
-            img = simweb.images_batch(hashes, with_bytes=with_bytes)
-            out = pd.DataFrame(
-                {
-                    "canon_url": pdf["canon_url"].to_numpy(),
-                    "url_hash": hashes,
-                    "host": pdf["host"].to_numpy(),
-                    "depth": pdf["depth"].to_numpy("int32"),
-                    "disc_seq": pdf["disc_seq"].to_numpy("int64"),
-                    "seq": pdf["seq"].to_numpy("int64"),
-                    "status": 200,
-                    "outlinks": links,
-                    "has_image": img["has_image"],
-                    "image_bytes": img["bytes"],
-                    "w": img["w"],
-                    "h": img["h"],
-                    "fmt": img["fmt"],
-                    "caption": img["caption"],
-                    "phash": img["phash"],
-                    "fetch_partition": pid,
-                }
-            )
-            yield out
-
-    return _fetch

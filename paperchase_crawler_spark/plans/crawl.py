@@ -50,7 +50,7 @@ from ..functions.spark_udfs import (
     IMAGES_SCHEMA,
     OUTLINKS_SCHEMA,
     canonicalize_udf,
-    fetch_images_map_in_pandas,
+    fetch_images_map_in_arrow,
     fetch_outlinks_map_in_pandas,
 )
 from ..operators.frontier_select import (
@@ -388,8 +388,8 @@ class CrawlRunner:
             images = (
                 fetched.filter("has_image")
                 .select("canon_url", "url_hash")
-                .mapInPandas(
-                    fetch_images_map_in_pandas(self.with_bytes), IMAGES_SCHEMA
+                .mapInArrow(
+                    fetch_images_map_in_arrow(self.with_bytes), IMAGES_SCHEMA
                 )
             )
             self.corpus.append(images, meta={"round": r})

@@ -53,3 +53,32 @@ def test_politeness_and_robots_shape():
         assert r["crawl_delay_rounds"] == 1 + z % 3
         assert r["tokens_per_round"] == 2 + z % 4
         assert (len(r["robots_rules"]) > 0) == (z % 5 == 0)
+
+
+def test_image_fetch_arrow_equals_pandas(spark):
+    """fetch_images_map_in_arrow (production hot path) emits exactly the rows
+    fetch_images_map_in_pandas does — byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from paperchase_crawler_spark.functions.spark_udfs import (
+        IMAGES_SCHEMA,
+        fetch_images_map_in_arrow,
+        fetch_images_map_in_pandas,
+    )
+
+    rows = spark.range(600).select(
+        F.concat(F.lit("https://h.example/p/"), F.col("id")).alias("canon_url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    ).repartition(3)
+    via_pandas = rows.mapInPandas(fetch_images_map_in_pandas(True), IMAGES_SCHEMA)
+    via_arrow = rows.mapInArrow(fetch_images_map_in_arrow(True), IMAGES_SCHEMA)
+
+    def key(df):
+        return sorted(
+            (r["image_id"],
+             bytes(r["bytes"]) if r["bytes"] is not None else None,
+             r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+            for r in df.collect()
+        )
+
+    assert key(via_arrow) == key(via_pandas)
