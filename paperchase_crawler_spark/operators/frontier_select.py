@@ -46,6 +46,17 @@ _SELECT_OUT_SCHEMA = StructType(
 )
 
 
+def _pa_schema(spark_schema: StructType):
+    """Fixed Arrow schema for kernel output: mapInArrow requires every
+    emitted batch to carry the IDENTICAL schema, while per-bucket parquet
+    reads drift in nullability (concat promotion depends on the bucket's
+    file mix) — so every batch is cast to this."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
 def frontier_bucket_col(nb: int, salts: int = 1) -> Column:
     return (
         F.pmod(F.xxhash64("host"), F.lit(nb)) * salts
@@ -118,9 +129,11 @@ def _merge_topk_fn(max_tokens: int):
             .drop_columns(["__rev"])
             .append_column("__host_rank", pa.array(rank[keep].astype(np.int32)))
         )
-        # mapInArrow matches by POSITION: normalize to the declared schema
-        # order (writers may lay columns out differently)
-        out = out.select([f.name for f in _SELECT_OUT_SCHEMA.fields])
+        # mapInArrow matches by POSITION and requires identical batch
+        # schemas: normalize order AND cast away per-bucket nullability drift
+        out = out.select([f.name for f in _SELECT_OUT_SCHEMA.fields]).cast(
+            _pa_schema(_SELECT_OUT_SCHEMA)
+        )
         yield from out.to_batches(max_chunksize=8192)
 
     return fn
@@ -162,6 +175,71 @@ def exact_per_host_cut(candidates: DataFrame, salts: int) -> DataFrame:
         .filter(F.col("__rn") <= F.col("tokens_per_round"))
         .drop("__rn")
     )
+
+
+def _merge_buckets_fn(next_rev: int):
+    """Arrow kernel for COMPACTION: per manifest row (one bucket), last-wins
+    merge of base ∪ deltas, re-tagged with the compacted commit's __rev and
+    the bucket's __fb — rows never leave their bucket, so the compacted base
+    can be written back with NO shuffle (one task per bucket reads its own
+    files and writes its own file)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in FRONTIER_REV_SCHEMA.fields]
+        base_names = [f.name for f in FRONTIER.fields]
+        for rb in batches:
+            buckets = rb.column("bucket").to_pylist()
+            file_lists = rb.column("files").to_pylist()
+            for bucket, files in zip(buckets, file_lists):
+                if not files:
+                    continue
+                tbl = pa.concat_tables(
+                    [pq.read_table(f).select(names) for f in files],
+                    promote_options="permissive",
+                ).combine_chunks()
+                uh = tbl.column("url_hash").to_numpy()
+                rev = tbl.column("__rev").to_numpy()
+                order = np.lexsort((rev, uh))
+                uh_sorted = uh[order]
+                last = np.ones(len(order), dtype=bool)
+                if len(order) > 1:
+                    last[:-1] = uh_sorted[1:] != uh_sorted[:-1]
+                merged = tbl.take(pa.array(order[last])).select(base_names)
+                n = merged.num_rows
+                out = merged.append_column(
+                    "__rev", pa.array(np.full(n, next_rev, dtype=np.int32))
+                ).append_column(
+                    "__fb", pa.array(np.full(n, bucket, dtype=np.int32))
+                )
+                yield from out.cast(_pa_schema(_COMPACT_SCHEMA)).to_batches(
+                    max_chunksize=8192
+                )
+
+    return fn
+
+
+_COMPACT_SCHEMA = StructType(
+    list(FRONTIER_REV_SCHEMA.fields) + [StructField("__fb", IntegerType(), False)]
+)
+
+
+def compacted_frontier(
+    spark: SparkSession, tbl: IceTable, next_rev: int
+) -> DataFrame:
+    """Merged frontier WITH layout columns (__rev, __fb), bucket-local and
+    shuffle-free — feed straight to overwrite_bucketed for compaction."""
+    plan = tbl.bucket_plan()
+    rows = [
+        (int(b), plan[b]["base"] + plan[b]["delta"]) for b in sorted(plan, key=int)
+    ]
+    manifest = spark.createDataFrame(
+        rows, "bucket int, files array<string>"
+    ).repartition(len(rows), "bucket")
+    return manifest.mapInArrow(_merge_buckets_fn(next_rev), _COMPACT_SCHEMA)
 
 
 def merged_frontier(spark: SparkSession, tbl: IceTable) -> DataFrame:

@@ -54,6 +54,7 @@ from ..functions.spark_udfs import (
     fetch_outlinks_map_in_pandas,
 )
 from ..operators.frontier_select import (
+    compacted_frontier,
     exact_per_host_cut,
     frontier_bucket_col,
     merged_frontier,
@@ -215,13 +216,22 @@ class CrawlRunner:
 
     def _frontier_append_delta(self, df: DataFrame, meta: dict | None = None) -> None:
         """O(changed rows) frontier commit; compaction folds deltas into a
-        fresh base once they exceed compact_delta_frac of it."""
+        fresh base once they exceed compact_delta_frac of it. Compaction is
+        bucket-local end-to-end: one task per bucket merges its own base ∪
+        delta files and writes its own compacted file — NO shuffle (rows
+        never change bucket)."""
         self.frontier.append_bucketed_delta(
             self._with_layout(df.select(*FRONTIER_COLS)), meta=meta
         )
         if self.frontier.delta_fraction() > self.compact_delta_frac:
-            merged = merged_frontier(self.spark, self.frontier)
-            self._frontier_overwrite(merged, meta={"op": "compaction"})
+            merged = compacted_frontier(
+                self.spark, self.frontier, next_rev=self.frontier._next_sid()
+            )
+            self.frontier.overwrite_bucketed(
+                merged,
+                n_buckets=self.frontier_buckets * self.frontier_salts,
+                meta={"op": "compaction"},
+            )
 
     # -- init ------------------------------------------------------------------
 

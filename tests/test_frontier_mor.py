@@ -92,6 +92,30 @@ def test_crawl_equivalence_with_salts_and_eager_compaction(spark, tmp_path):
     assert runner.frontier.delta_fraction() == 0.0
 
 
+def test_compaction_is_shuffle_free_and_exact(spark, tbl):
+    """compacted_frontier: per-bucket merge plan has no Exchange (rows never
+    change bucket) and equals the shuffled merged_frontier reference."""
+    from paperchase_crawler_spark.operators.frontier_select import (
+        compacted_frontier,
+    )
+
+    base = [_row(f"https://h{i % 5}.example/p/{i}", seq=i) for i in range(30)]
+    _write(tbl, _frontier_rows(spark, base), nb=4, rev=0)
+    upd = [
+        _row(f"https://h{i % 5}.example/p/{i}", state="fetched", seq=i, done=1)
+        for i in range(7)
+    ]
+    _write(tbl, _frontier_rows(spark, upd), nb=4, rev=1)
+    compacted = compacted_frontier(spark, tbl, next_rev=2)
+    plan = compacted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # only the tiny manifest repartition
+    cols = [f.name for f in FRONTIER.fields]
+    got = sorted(tuple(r) for r in compacted.select(*cols).collect())
+    want = sorted(tuple(r) for r in merged_frontier(spark, tbl).select(*cols).collect())
+    assert got == want
+    assert {r[6] for r in got} == {"queued", "fetched"}
+
+
 def test_maintenance_keeps_resume_working(spark, tmp_path):
     """expire_snapshots between rounds must not break crash-resume or change
     any artifact (the checkpointed current snapshots are always retained)."""
