@@ -65,19 +65,35 @@ def with_global_rank(
 
 
 def global_topk_ranked(
-    df: DataFrame, keys: list[str], k: int, rank_col: str, start: int = 0
-) -> DataFrame:
+    df: DataFrame,
+    keys: list[str],
+    k: int,
+    rank_col: str,
+    start: int = 0,
+    count_pred=None,
+):
     """Exact smallest-k rows by ``keys`` WITH their global 0-based rank
     (+``start``), in one range-partition pass — fuses global_topk +
     with_global_rank so the crawl SELECT stage pays one shuffle, one
-    checkpoint, one count job instead of two of each."""
+    checkpoint, one count job instead of two of each.
+
+    ``count_pred`` (a boolean Column) piggybacks an exact predicate count on
+    the SAME per-partition counts job and changes the return to
+    ``(df, n_pred)`` — the zone-map pruned SELECT uses it to verify its
+    exactness bound without a second pass (frontier_select)."""
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
-    counts = sorted(
-        (r[_PID], r["cnt"])
-        for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
-    )
+    aggs = [F.count("*").alias("cnt")]
+    if count_pred is not None:
+        aggs.append(F.count_if(count_pred).alias("npred"))
+    rows = part.groupBy(_PID).agg(*aggs).collect()
+    counts = sorted((r[_PID], r["cnt"]) for r in rows)
+    n_pred = sum(r["npred"] for r in rows) if count_pred is not None else None
+
+    def _ret(out: DataFrame):
+        return out if count_pred is None else (out, n_pred)
+
     if not counts:
-        return df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
+        return _ret(df.withColumn(rank_col, F.lit(0).cast("long")).limit(0))
     acc = 0
     offsets: dict[int, int] = {}
     boundary_pid, take_in_boundary = None, 0
@@ -96,9 +112,12 @@ def global_topk_ranked(
             (F.col(_PID) != boundary_pid) | (F.col(_RN) <= take_in_boundary)
         )
     off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    return ranked.withColumn(
-        rank_col, (F.col(_RN).cast("long") - 1 + off_map[F.col(_PID)]).cast("long")
-    ).drop(_PID, _RN)
+    return _ret(
+        ranked.withColumn(
+            rank_col,
+            (F.col(_RN).cast("long") - 1 + off_map[F.col(_PID)]).cast("long"),
+        ).drop(_PID, _RN)
+    )
 
 
 def global_topk(df: DataFrame, keys: list[str], k: int) -> DataFrame:

@@ -74,6 +74,17 @@ HOST_STATE = StructType(
     ]
 )
 
+# Merge-on-read last_round updates: one row per (round, touched host). The
+# static HOST_STATE dimension is written once at init; per-round commits
+# append only these o(hosts) rows (r2 verdict "What's missing" #2) and the
+# merged view takes max(last_round) per host.
+HOST_TOUCH = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("last_round", IntegerType(), False),
+    ]
+)
+
 # Transient fetch result, one row per fetched URL (SURVEY.md §1.2).
 FETCH_RESULT = StructType(
     [

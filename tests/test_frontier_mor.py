@@ -94,9 +94,12 @@ def test_crawl_equivalence_with_salts_and_eager_compaction(spark, tmp_path):
 
 def test_compaction_is_shuffle_free_and_exact(spark, tbl):
     """compacted_frontier: per-bucket merge plan has no Exchange (rows never
-    change bucket) and equals the shuffled merged_frontier reference."""
+    change bucket) and equals the shuffled groupBy/max_by reference. The
+    public merged_frontier view (bucket-local since r3) must match both and
+    itself stay Exchange-free."""
     from paperchase_crawler_spark.operators.frontier_select import (
         compacted_frontier,
+        merged_frontier_reference,
     )
 
     base = [_row(f"https://h{i % 5}.example/p/{i}", seq=i) for i in range(30)]
@@ -111,9 +114,16 @@ def test_compaction_is_shuffle_free_and_exact(spark, tbl):
     assert plan.count("Exchange") <= 1  # only the tiny manifest repartition
     cols = [f.name for f in FRONTIER.fields]
     got = sorted(tuple(r) for r in compacted.select(*cols).collect())
-    want = sorted(tuple(r) for r in merged_frontier(spark, tbl).select(*cols).collect())
+    want = sorted(
+        tuple(r)
+        for r in merged_frontier_reference(spark, tbl).select(*cols).collect()
+    )
     assert got == want
     assert {r[6] for r in got} == {"queued", "fetched"}
+    pub = merged_frontier(spark, tbl)
+    pub_plan = pub._jdf.queryExecution().executedPlan().toString()
+    assert pub_plan.count("Exchange") <= 1  # no caller can trip a full shuffle
+    assert sorted(tuple(r) for r in pub.select(*cols).collect()) == want
 
 
 def test_maintenance_keeps_resume_working(spark, tmp_path):
