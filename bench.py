@@ -39,28 +39,35 @@ HEADLINE = [
 ]
 
 
-def _frontier_round(spark) -> dict:
+def _frontier_round(spark, budget: int, warmup: bool = True) -> dict:
     """One crawl round over a cached 2M-URL / 400k-host Zipf bucketed
     merge-on-read frontier — shares bench/round_job.run_round_bench with the
-    multi-parallelism scaling evidence (scripts/bench_scaling.py)."""
-    from bench.round_job import run_round_bench
-    from scripts.bench_scaling import gen_frontier
+    multi-parallelism scaling evidence (scripts/bench_scaling.py).
 
-    rows, hosts, budget, nb, salts = 2_000_000, 400_000, 400_000, 64, 2
+    Run twice: budget 400k (> eligible supply ≈ 178k — every queued row
+    matters, so SELECT must scan all queued-bearing buckets) and budget 100k
+    (< supply — the zone-map pruned SELECT proves it can skip buckets and
+    still match the exact cut; t_select is the number to watch)."""
+    from bench.round_job import run_round_bench
+    from scripts.bench_scaling import fixture_path, gen_frontier
+
+    rows, hosts, nb, salts = 2_000_000, 400_000, 64, 2
     repo = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(repo, "BENCH", "fixtures", f"ft{rows}h{hosts}")
+    path = fixture_path(os.path.join(repo, "BENCH", "fixtures"), rows, hosts, nb, salts)
     gen_frontier(path, rows, hosts, nb, salts, spark=spark)
     stats = run_round_bench(
-        spark, path, budget, hosts, frontier_salts=salts
+        spark, path, budget, hosts, frontier_salts=salts, warmup=warmup
     )
     return {
         "t_round": stats["t_round"],
+        "t_select": stats["t_select"],
         "frontier_rows": stats["n_frontier"],
         "n_selected": stats["n_selected"],
         "n_images": stats["n_images"],
         "n_new": stats["n_new"],
         "frontier_urls_per_sec": stats["urls_per_sec"],
         "images_per_sec": stats["images_per_sec"],
+        "select_pruning": stats["select_pruning"],
     }
 
 
@@ -87,8 +94,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.time()
     # untimed warmup: first-query cost is JVM codegen/session spin-up, not
-    # plan cost (round-1 analysis: q01 measured 6s warm-up vs ~2s warm)
-    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+    # plan cost (round-1 analysis: q01 measured 6s warm-up vs ~2s warm).
+    # Warm with a NON-headline query so no measured query gets a same-plan
+    # codegen-cache advantage over the others (r2 advice).
+    qs["q_brand_part_agg"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     for name in HEADLINE:
@@ -114,8 +123,13 @@ def main() -> None:
     # frontier-scale single round (the BASELINE.md headline number): one full
     # select→fetch→expand→seen round over a 2M-URL Zipf frontier, generated
     # once and cached under BENCH/fixtures
-    frontier_stats = _frontier_round(spark)
+    frontier_stats = _frontier_round(spark, budget=400_000)
     timings["frontier_round_2m"] = frontier_stats.pop("t_round")
+    # pruned-SELECT variant: budget below the eligible supply, so the zone-map
+    # planner can skip buckets (t_select is the win; reported as its own row)
+    pruned_stats = _frontier_round(spark, budget=100_000, warmup=False)
+    timings["frontier_round_2m_pruned_select"] = pruned_stats.pop("t_select")
+    pruned_stats.pop("t_round")
 
     total = time.time() - t_all
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -133,6 +147,7 @@ def main() -> None:
             "images_per_sec": round(n_images / crawl_sec, 2),
         },
         "frontier_round": frontier_stats,
+        "frontier_round_pruned": pruned_stats,
         "cpus": cpus,
     }
     print(json.dumps(out))

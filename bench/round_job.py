@@ -51,13 +51,22 @@ def run_round_bench(
         fetch_outlinks_map_in_pandas,
     )
     from paperchase_crawler_spark.operators.frontier_select import (
-        exact_per_host_cut,
         select_candidates,
+        select_frontier_round,
     )
-    from paperchase_crawler_spark.operators.ordering import global_topk_ranked
-    from paperchase_crawler_spark.operators.politeness import R3_KEYS, eligible_hosts
     from paperchase_crawler_spark.operators.seen import BloomSeen, filter_new
     from paperchase_crawler_spark.sources.icetable import IceTable
+
+    # engine invariant mirror (plans/crawl.py init_from_seeds): the bucket-
+    # local pre-cut keeps max_tokens rows/host, so any host's tokens_per_round
+    # above that bound would silently drop selectable rows and understate
+    # throughput
+    top_tokens = (2 + 3) * tokens_mult
+    if top_tokens > max_tokens:
+        raise ValueError(
+            f"tokens_per_round max {top_tokens} (tokens_mult={tokens_mult}) "
+            f"exceeds max_tokens={max_tokens} — raise max_tokens"
+        )
 
     tbl = IceTable(frontier_table)
     n_frontier = tbl.snapshot()["total_rows"]
@@ -72,11 +81,16 @@ def run_round_bench(
         F.lit(-1000000).alias("last_round"),
     )
 
+    prune_info = {}
+
     def _select():
-        cand = select_candidates(spark, tbl, max_tokens)
-        elig = eligible_hosts(cand.join(F.broadcast(hs), on="host", how="inner"), 1)
-        per_host = exact_per_host_cut(elig, frontier_salts)
-        return global_topk_ranked(per_host, R3_KEYS, budget, "seq", 0).select(
+        # the production SELECT (zone-map pruned, verified exact) — the same
+        # code path plans/crawl.py runs
+        ranked, info = select_frontier_round(
+            spark, tbl, hs, 1, budget, max_tokens, frontier_salts
+        )
+        prune_info.update(info)
+        return ranked.select(
             "canon_url", "url_hash", "host", "depth", "disc_seq",
             "round_disc", "seq",
         )
@@ -174,6 +188,7 @@ def run_round_bench(
         "urls_per_sec": round((n_selected + n_new) / t_round, 1),
         "images_per_sec": round(n_images / t_fetch_imgs, 1),
         "parallelism": cores,
+        "select_pruning": prune_info,
     }
 
 

@@ -29,6 +29,8 @@ Python).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -64,12 +66,20 @@ def frontier_bucket_col(nb: int, salts: int = 1) -> Column:
     ).cast("int")
 
 
-def _merge_topk_fn(max_tokens: int):
+def _merge_topk_fn(max_tokens: int, tau: tuple | None = None):
     """Arrow kernel: read this task's bucket files with pyarrow, last-wins
     merge by url_hash → queued filter → per-host top-max_tokens by
     (depth, disc_seq). Exact per task because a bucket holds every version
     of its URLs and every row of its (host, salt) — several buckets landing
     in one task only widens the (still-complete) host set.
+
+    ``tau`` = exclusive (depth, disc_seq) key bound from the zone-map
+    planner: only rows with key < tau are read (parquet row-group predicate
+    pushdown on depth — compaction sorts buckets by the key, so groups whose
+    stats exceed tau are skipped without IO). Exact because a URL's key is
+    immutable across versions (every version of a kept URL passes the same
+    filter, so last-wins still sees them all) and the caller VERIFIES that
+    ≥ budget post-cut survivors fall below tau before trusting the result.
 
     Input rows are (bucket, files) manifest entries — a Python-side bucket
     scan via mapInArrow rather than a 2×NB-leaf union plan, because without
@@ -93,12 +103,21 @@ def _merge_topk_fn(max_tokens: int):
         if not files:
             return
         names = [f.name for f in FRONTIER_REV_SCHEMA.fields]
+        filters = [("depth", "<=", int(tau[0]))] if tau is not None else None
         # normalize column order + promote nullability per file: different
         # commits may lay columns out (or infer nullability) differently
         tbl = pa.concat_tables(
-            [pq.read_table(f).select(names) for f in files],
+            [pq.read_table(f, filters=filters).select(names) for f in files],
             promote_options="permissive",
         ).combine_chunks()
+        if tau is not None and tbl.num_rows:
+            d = tbl.column("depth").to_numpy()
+            s = tbl.column("disc_seq").to_numpy()
+            tbl = tbl.filter(
+                pa.array((d < tau[0]) | ((d == tau[0]) & (s < tau[1])))
+            ).combine_chunks()
+        if tbl.num_rows == 0:
+            return
         uh = tbl.column("url_hash").to_numpy()
         rev = tbl.column("__rev").to_numpy()
         order = np.lexsort((rev, uh))
@@ -139,13 +158,15 @@ def _merge_topk_fn(max_tokens: int):
     return fn
 
 
-def _scan_manifest(spark: SparkSession, rows: list, max_tokens: int) -> DataFrame:
+def _scan_manifest(
+    spark: SparkSession, rows: list, max_tokens: int, tau: tuple | None = None
+) -> DataFrame:
     if not rows:  # empty frontier / all buckets pruned — not a crash
         return spark.createDataFrame([], _SELECT_OUT_SCHEMA)
     manifest = spark.createDataFrame(
         rows, "bucket int, files array<string>"
     ).repartition(len(rows), "bucket")
-    return manifest.mapInArrow(_merge_topk_fn(max_tokens), _SELECT_OUT_SCHEMA)
+    return manifest.mapInArrow(_merge_topk_fn(max_tokens, tau), _SELECT_OUT_SCHEMA)
 
 
 def select_candidates(
@@ -185,7 +206,11 @@ def select_candidates(
 # unconditionally and needs no τ.
 
 ZONE_COLS = ["state", "depth", "disc_seq", "host"]
-_ZONE_SCHEMA = "file string, n_queued long, min_depth int, min_seq long, n_hosts long"
+_ZONE_SCHEMA = (
+    "file string, n_queued long, min_depth int, min_seq long, n_hosts long, "
+    "depth_hist string"
+)
+_MAX_SEQ = (1 << 63) - 1  # exclusive disc_seq sentinel: key < (d, _MAX_SEQ) ⟺ depth ≤ d
 
 
 def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, dict]:
@@ -201,6 +226,8 @@ def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, d
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        import numpy as np
+
         schema = pa.schema(
             [
                 ("file", pa.string()),
@@ -208,29 +235,33 @@ def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, d
                 ("min_depth", pa.int32()),
                 ("min_seq", pa.int64()),
                 ("n_hosts", pa.int64()),
+                ("depth_hist", pa.string()),
             ]
         )
         for rb in batches:
             out: dict[str, list] = {
                 "file": [], "n_queued": [], "min_depth": [],
-                "min_seq": [], "n_hosts": [],
+                "min_seq": [], "n_hosts": [], "depth_hist": [],
             }
             for f in rb.column("file").to_pylist():
                 t = pq.read_table(f, columns=ZONE_COLS)
                 q = t.filter(pc.equal(t.column("state"), "queued"))
                 if q.num_rows == 0:
-                    d, s, nh = 0, 0, 0
+                    d, s, nh, hist = 0, 0, 0, {}
                 else:
                     depth = q.column("depth").to_numpy()
                     seq = q.column("disc_seq").to_numpy()
                     d = int(depth.min())
                     s = int(seq[depth == d].min())
                     nh = int(pc.count_distinct(q.column("host")).as_py())
+                    vals, cnts = np.unique(depth, return_counts=True)
+                    hist = {int(v): int(c) for v, c in zip(vals, cnts)}
                 out["file"].append(f)
                 out["n_queued"].append(q.num_rows)
                 out["min_depth"].append(d)
                 out["min_seq"].append(s)
                 out["n_hosts"].append(nh)
+                out["depth_hist"].append(json.dumps(hist))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(v, type=schema.field(i).type) for i, v in enumerate(out.values())],
                 schema=schema,
@@ -246,6 +277,7 @@ def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, d
             "min_depth": r["min_depth"],
             "min_seq": r["min_seq"],
             "n_hosts": r["n_hosts"],
+            "depth_hist": json.loads(r["depth_hist"]),
         }
         for r in rows
     }
@@ -259,55 +291,82 @@ def _pruned_bucket_plan(
     overscan: float,
     max_scan_frac: float,
 ):
-    """Choose the bucket subset to scan. Returns (rows, tau, info) where rows
-    is the [(bucket, files)] manifest, tau the exactness-verification key
-    bound ((depth, disc_seq) or None when no τ-guarded bucket was skipped),
-    or None entirely when any file lacks zone stats (unknown → full scan)."""
-    entries = []
+    """Choose what to read. Returns (rows, tau, info): rows is the
+    [(bucket, files)] manifest, tau the exclusive (depth, disc_seq) bound the
+    kernel filters to (None → no row filter), or None entirely when any file
+    lacks zone stats (unknown → full scan).
+
+    tau selection is DEPTH-HISTOGRAM based: the global per-depth queued
+    counts pick the smallest d* whose cumulative count covers
+    overscan × budget, tau = (d*, +∞). This prunes at ROW level (parquet
+    predicate pushdown inside scanned buckets — essential because hash
+    bucketing spreads every depth across every bucket, so bucket-min keys
+    alone cannot prune a uniform frontier) AND at bucket level (buckets with
+    no queued row below tau are never opened). Buckets with zero queued rows
+    anywhere are skipped unconditionally — exact with no verification, since
+    a row whose latest version is queued is queued in some file."""
+    entries = []  # (bucket, files, hist, host_cap) for queued-bearing buckets
     n_total = 0
+    depth_tot: dict[int, int] = {}
     for b in sorted(plan, key=int):
         files = plan[b]["base"] + plan[b]["delta"]
         if not files:
             continue
         n_total += 1
-        zs = []
+        hist: dict[int, int] = {}
+        nh = 0
         for f in files:
             z = zones.get(f)
             if not z:
                 return None
-            zs.append(z)
-        nq = sum(z["n_queued"] for z in zs)
-        if nq == 0:
+            nh += z.get("n_hosts", 0)
+            for d, n in z.get("depth_hist", {}).items():
+                hist[int(d)] = hist.get(int(d), 0) + n
+        if not hist:
             continue  # provably no queued rows — skip unconditionally
-        mk = min(
-            (z["min_depth"], z["min_seq"]) for z in zs if z["n_queued"] > 0
-        )
-        # politeness-capped capacity: a host yields ≤ max_tokens rows, so the
-        # bucket can contribute at most min(queued, hosts × max_tokens)
-        cap = min(nq, sum(z["n_hosts"] for z in zs) * max_tokens)
-        entries.append((mk, cap, int(b), files))
-    entries.sort(key=lambda e: (e[0], e[2]))
+        entries.append((int(b), files, hist, nh * max_tokens))
+        for d, n in hist.items():
+            depth_tot[d] = depth_tot.get(d, 0) + n
+    total_q = sum(depth_tot.values())
     target = overscan * budget
+    # choose the smallest d* whose POLITENESS-CAPPED capacity covers the
+    # target: a bucket's survivors are ≤ min(queued rows ≤ d*, hosts ×
+    # max_tokens) — raw row counts alone overestimate post-token-cut supply
+    # and would pick a d* that trips the fallback
+    d_star = None
     acc = 0
-    cut = len(entries)
-    for i, (_, cap, _, _) in enumerate(entries):
-        acc += cap
-        if acc >= target:
-            cut = i + 1
+    for d in sorted(depth_tot):
+        acc += depth_tot[d]
+        cap = sum(
+            min(sum(n for dd, n in hist.items() if dd <= d), host_cap)
+            for (_, _, hist, host_cap) in entries
+        )
+        if cap >= target:
+            d_star = d
             break
-    if cut >= len(entries) or cut > max_scan_frac * len(entries):
-        # little or nothing to skip beyond the zero-queued buckets: scan all
-        # queued-bearing buckets with no τ (exact, no verification cost)
-        scan, tau = entries, None
+    if (
+        d_star is None
+        or d_star >= max(depth_tot)
+        or acc > max_scan_frac * total_q
+    ):
+        # row pruning can't skip a useful fraction: scan all queued-bearing
+        # buckets unfiltered (exact, no verification cost)
+        rows = [(b, files) for (b, files, _, _) in entries]
+        tau = None
     else:
-        scan = entries[:cut]
-        tau = min(e[0] for e in entries[cut:])
-    rows = [(b, files) for (_, _, b, files) in scan]
+        tau = (d_star, _MAX_SEQ)
+        rows = [
+            (b, files)
+            for (b, files, hist, _) in entries
+            if any(d <= d_star for d in hist)
+        ]
     info = {
         "scanned_buckets": len(rows),
         "queued_buckets": len(entries),
         "total_buckets": n_total,
         "tau": list(tau) if tau else None,
+        "est_rows_scanned": acc if tau else total_q,
+        "total_queued": total_q,
         "pruned": True,
     }
     return rows, tau, info
@@ -343,7 +402,7 @@ def select_candidates_pruned(
         }
         return _scan_manifest(spark, rows, max_tokens), None, info
     rows, tau, info = pr
-    return _scan_manifest(spark, rows, max_tokens), tau, info
+    return _scan_manifest(spark, rows, max_tokens, tau), tau, info
 
 
 def select_frontier_round(
@@ -447,6 +506,19 @@ def _merge_buckets_fn(next_rev: int):
                 if len(order) > 1:
                     last[:-1] = uh_sorted[1:] != uh_sorted[:-1]
                 merged = tbl.take(pa.array(order[last])).select(base_names)
+                # write back sorted by the priority key: row groups then carry
+                # tight (depth, disc_seq) stats, so the pruned SELECT's
+                # parquet predicate pushdown skips cold groups without IO
+                merged = merged.take(
+                    pa.array(
+                        np.lexsort(
+                            (
+                                merged.column("disc_seq").to_numpy(),
+                                merged.column("depth").to_numpy(),
+                            )
+                        )
+                    )
+                )
                 n = merged.num_rows
                 out = merged.append_column(
                     "__rev", pa.array(np.full(n, next_rev, dtype=np.int32))

@@ -219,6 +219,9 @@ class CrawlRunner:
             df.withColumn("__rev", F.lit(self.frontier._next_sid()).cast("int"))
             .withColumn("__fb", frontier_bucket_col(nb, s))
             .repartition(nb * s, F.col("__fb"))
+            # priority-key order inside each file → row-group stats let the
+            # zone-pruned SELECT skip cold row groups via parquet pushdown
+            .sortWithinPartitions("depth", "disc_seq")
         )
 
     def _frontier_overwrite(self, df: DataFrame, meta: dict | None = None) -> None:

@@ -150,9 +150,15 @@ class IceTable:
     # that provably cannot contribute (operators/frontier_select pruned SELECT).
 
     def _write_bucketed(self, df: DataFrame, sid: int) -> tuple[dict[str, list[str]], dict[str, int]]:
-        """df must carry an int ``__fb`` bucket column; one file per bucket."""
+        """df must carry an int ``__fb`` bucket column; one file per bucket.
+        Row groups are capped small (4 MB vs the 128 MB default) so sorted
+        buckets give zone-pruned readers row-group-granular predicate
+        pushdown; on a real cluster the default is fine — 128 MB over a
+        sorted multi-GB bucket is already selective."""
         sub = os.path.join(self.data_dir, f"s{sid}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("errorifexists").partitionBy("__fb").parquet(sub)
+        df.write.mode("errorifexists").option(
+            "parquet.block.size", str(4 << 20)
+        ).partitionBy("__fb").parquet(sub)
         buckets: dict[str, list[str]] = {}
         counts: dict[str, int] = {}
         total_bytes = 0

@@ -59,6 +59,7 @@ def gen_frontier(
 
     from paperchase_crawler_spark.functions.hashing import xxh64_u64_vec
     from paperchase_crawler_spark.operators.frontier_select import (
+        compute_frontier_zones,
         frontier_bucket_col,
     )
     from paperchase_crawler_spark.sources.icetable import IceTable
@@ -95,10 +96,24 @@ def gen_frontier(
         .withColumn("__rev", F.lit(0).cast("int"))
         .withColumn("__fb", frontier_bucket_col(nb, salts))
         .repartition(nb * salts, F.col("__fb"))
+        # sorted buckets → tight per-row-group (depth, disc_seq) stats → the
+        # zone-pruned SELECT's parquet pushdown skips cold row groups
+        .sortWithinPartitions("depth", "disc_seq")
     )
-    IceTable(path).overwrite_bucketed(df, n_buckets=nb * salts)
+    IceTable(path).overwrite_bucketed(
+        df,
+        n_buckets=nb * salts,
+        zone_fn=lambda files: compute_frontier_zones(spark, files),
+    )
     if own_session:
         spark.stop()
+
+
+def fixture_path(fixtures_dir: str, rows: int, hosts: int, nb: int, salts: int) -> str:
+    """Fixture cache key carries EVERY layout knob — a --salts/--buckets
+    change must regenerate, not silently reuse a mismatched physical layout
+    (r2 advice: salts=1 vs salts=2 fixtures cut different rows)."""
+    return os.path.join(fixtures_dir, f"ft{rows}h{hosts}b{nb}s{salts}")
 
 
 def make_zip(zip_path: str) -> None:
@@ -206,7 +221,7 @@ def main() -> None:
 
     fixtures = os.path.join(REPO, "BENCH", "fixtures")
     os.makedirs(fixtures, exist_ok=True)
-    frontier = os.path.join(fixtures, f"ft{args.rows}h{args.hosts}")
+    frontier = fixture_path(fixtures, args.rows, args.hosts, args.buckets, args.salts)
     gen_frontier(frontier, args.rows, args.hosts, args.buckets, args.salts)
     zip_path = os.path.join(fixtures, "engine.zip")
     make_zip(zip_path)

@@ -34,15 +34,21 @@ def tbl(tmp_path):
 
 
 def _write(tbl, df, nb, rev):
+    from paperchase_crawler_spark.operators.frontier_select import (
+        compute_frontier_zones,
+    )
+
+    spark = df.sparkSession
+    zf = lambda files: compute_frontier_zones(spark, files)
     staged = (
         df.withColumn("__rev", F.lit(rev).cast("int"))
         .withColumn("__fb", frontier_bucket_col(nb, 1))
         .repartition(nb, F.col("__fb"))
     )
     if tbl.current_snapshot_id() is None:
-        tbl.overwrite_bucketed(staged, n_buckets=nb)
+        tbl.overwrite_bucketed(staged, n_buckets=nb, zone_fn=zf)
     else:
-        tbl.append_bucketed_delta(staged)
+        tbl.append_bucketed_delta(staged, zone_fn=zf)
 
 
 def test_delta_overrides_base(spark, tbl):
@@ -161,3 +167,197 @@ def test_frontier_delta_commit_is_o_changed(spark, tmp_path):
     frac = runner.frontier.delta_fraction()
     assert 0 < frac <= runner.compact_delta_frac
     assert runner.frontier.last_commit_bytes < base_bytes * 25  # sanity: bounded
+
+
+# -- round 3: zone-map pruned SELECT -------------------------------------------
+
+
+def _hs_df(spark, hosts, tokens=4):
+    return spark.createDataFrame(
+        [(h, 0, tokens, -1000000) for h in hosts],
+        "host string, crawl_delay_rounds int, tokens_per_round int, last_round int",
+    )
+
+
+def _ranked_set(df):
+    return sorted((r["url_hash"], r["seq"]) for r in df.collect())
+
+
+def test_pruned_select_equals_full_and_skips_buckets(spark, tbl):
+    """Mostly-cold frontier: the pruned plan must open a strict subset of
+    buckets and produce EXACTLY the full-scan selection."""
+    from paperchase_crawler_spark.operators.frontier_select import (
+        select_candidates,
+        select_frontier_round,
+    )
+    from paperchase_crawler_spark.operators.ordering import global_topk_ranked
+    from paperchase_crawler_spark.operators.politeness import R3_KEYS, eligible_hosts
+
+    # host i's rows all sit at depth i → bucket zone mins differ sharply
+    rows = [
+        _row(f"https://h{i}.example/p/{i}-{j}", depth=i, seq=i * 100 + j)
+        for i in range(32)
+        for j in range(40)
+    ]
+    _write(tbl, _frontier_rows(spark, rows), nb=16, rev=0)
+    hosts = [f"h{i}.example" for i in range(32)]
+    hs = _hs_df(spark, hosts)
+    ranked, info = select_frontier_round(
+        spark, tbl, hs, round_no=1, budget=12, max_tokens=8, salts=1
+    )
+    # independent full-scan reference
+    full = select_candidates(spark, tbl, max_tokens=8)
+    elig = eligible_hosts(full.join(F.broadcast(hs), "host", "inner"), 1)
+    from paperchase_crawler_spark.operators.frontier_select import exact_per_host_cut
+
+    ref = global_topk_ranked(exact_per_host_cut(elig, 1), R3_KEYS, 12, "seq", 0)
+    assert _ranked_set(ranked) == _ranked_set(ref)
+    assert info["pruned"] is True
+    assert info["fallback"] is False
+    assert info["scanned_buckets"] < info["queued_buckets"]
+
+
+def test_pruned_select_fallback_is_exact(spark, tbl):
+    """budget > eligible supply: the verification count must catch it and the
+    fallback full scan must deliver the exact full selection."""
+    from paperchase_crawler_spark.operators.frontier_select import (
+        select_frontier_round,
+    )
+
+    rows = [
+        _row(f"https://h{i}.example/p/{i}-{j}", depth=i, seq=i * 100 + j)
+        for i in range(32)
+        for j in range(40)
+    ]
+    _write(tbl, _frontier_rows(spark, rows), nb=16, rev=0)
+    hosts = [f"h{i}.example" for i in range(32)]
+    hs = _hs_df(spark, hosts, tokens=2)
+    # supply = 32 hosts x 2 tokens = 64; ask for 60 with a tiny overscan so
+    # the planner skips buckets it shouldn't have → verification must fire
+    ranked, info = select_frontier_round(
+        spark, tbl, hs, round_no=1, budget=60, max_tokens=8, salts=1,
+        prune_overscan=1.0, max_scan_frac=0.99,
+    )
+    got = _ranked_set(ranked)
+    assert len(got) == 60
+    if info["pruned"] and info["tau"] is not None:
+        assert info["fallback"] is True
+    # exact reference: per-host top-2 by (depth, seq) → global top-60
+    per_host = {}
+    survivors = []
+    for r in sorted(rows, key=lambda t: (t[3], t[4])):
+        c = per_host.get(r[2], 0)
+        if c < 2:
+            per_host[r[2]] = c + 1
+            survivors.append(r)
+    want_hashes = sorted(r[1] for r in survivors[:60])
+    assert sorted(h for h, _ in got) == want_hashes
+
+
+def test_zero_queued_buckets_always_skipped(spark, tbl):
+    """Buckets whose zone maps show no queued rows are skipped exactly, with
+    no tau verification needed."""
+    from paperchase_crawler_spark.operators.frontier_select import (
+        select_frontier_round,
+    )
+
+    rows = [
+        _row(
+            f"https://h{i}.example/p/{i}-{j}",
+            state="queued" if i < 2 else "fetched",
+            depth=0,
+            seq=i * 100 + j,
+            done=None if i < 2 else 1,
+        )
+        for i in range(24)
+        for j in range(10)
+    ]
+    _write(tbl, _frontier_rows(spark, rows), nb=12, rev=0)
+    hs = _hs_df(spark, [f"h{i}.example" for i in range(24)], tokens=10)
+    ranked, info = select_frontier_round(
+        spark, tbl, hs, round_no=1, budget=100, max_tokens=16, salts=1
+    )
+    got = {r["url_hash"] for r in ranked.collect()}
+    want = {r[1] for r in rows if r[6] == "queued"}
+    assert got == want  # all 20 queued rows, none lost
+    assert info["scanned_buckets"] <= 2  # only buckets holding h0/h1
+    assert info["scanned_buckets"] < info["total_buckets"]
+
+
+def test_host_touch_commit_is_o_hosts(spark, tmp_path):
+    """host_state is written once; per-round commits are o(hosts) touch rows."""
+    runner = CrawlRunner(
+        spark, str(tmp_path / "ht"), round_budget=10, with_bytes=False,
+        frontier_buckets=4,
+    )
+    runner.init_from_seeds(simweb.seed_urls(400))
+    base_bytes = runner.host_state.last_commit_bytes
+    hs_snap_before = runner.host_state.current_snapshot_id()
+    runner.run(1)
+    # the dimension was NOT rewritten
+    assert runner.host_state.current_snapshot_id() == hs_snap_before
+    # the touch delta is tiny vs the dimension
+    assert runner.host_touch.last_commit_bytes < base_bytes / 4
+    # and the merged view carries the round's last_round updates
+    hs = runner._host_state_df()
+    assert hs.filter(F.col("last_round") == 1).count() > 0
+
+
+def test_bloom_partial_compaction_rewrites_subset(spark, tmp_path):
+    """Group-scoped Bloom compaction rewrites only hot groups' files."""
+    from paperchase_crawler_spark.operators.seen import BloomSeen
+
+    runner = CrawlRunner(
+        spark, str(tmp_path / "bp"), round_budget=120, with_bytes=False,
+        frontier_buckets=4, bloom=BloomSeen(n_buckets=16),
+        bloom_shards_per_bucket=1, bloom_shard_groups=4,
+    )
+    runner.init_from_seeds(SEEDS)
+    plan_before = runner.bloom_shards.bucket_plan()
+    runner.run(2)
+    snap = runner.bloom_shards.snapshot()
+    ops = [
+        runner.bloom_shards.snapshot(s)["op"]
+        for s in runner.bloom_shards.snapshot_ids()
+    ]
+    assert "replace" in ops  # a partial compaction happened
+    # every bucket's shard count is back within the allowance
+    bk = snap["meta"]["buckets"]
+    allowance = (16 / 4) * 1
+    for g in bk["base"]:
+        n = sum(
+            snap["row_counts"][f]
+            for f in bk["base"].get(g, []) + bk.get("delta", {}).get(g, [])
+        )
+        assert n <= allowance * 2 + 4  # bounded, not unbounded growth
+    # equivalence with the oracle still holds (probe over compacted groups)
+    oracle = oracle_crawl(SEEDS, rounds=2, round_budget=120)
+    assert {r["url_hash"] for r in runner.seen_df().collect()} == oracle.seen
+
+
+def test_rebucket_split_preserves_equivalence(spark, tmp_path):
+    """rows_per_bucket_target forces bucket-count doubling mid-crawl; every
+    artifact stays oracle-equal and resume still works after the split."""
+    oracle = oracle_crawl(SEEDS, rounds=3, round_budget=120)
+    wd = str(tmp_path / "rb")
+    runner = CrawlRunner(
+        spark, wd, round_budget=120, with_bytes=False,
+        frontier_buckets=2, frontier_salts=1, compact_delta_frac=0.0,
+        rows_per_bucket_target=40,
+    )
+    runner.init_from_seeds(SEEDS)
+    runner.run(2)
+    assert runner.frontier_buckets > 2  # the split happened
+    assert (
+        runner.frontier.snapshot()["meta"]["buckets"]["n"]
+        == runner.frontier_buckets
+    )
+    resumed = CrawlRunner.resume(spark, wd)
+    assert resumed.frontier_buckets == runner.frontier_buckets
+    resumed.run(1)
+    eng = [
+        (r["seq"], r["round"], r["canon_url"])
+        for r in resumed.ordering_df().orderBy("seq").collect()
+    ]
+    assert eng == oracle.ordering
+    assert {r["url_hash"] for r in resumed.seen_df().collect()} == oracle.seen
