@@ -21,6 +21,35 @@ from pyspark.sql import functions as F
 from ..functions.text import md5_int60, word_kgrams
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a source that arrives under-partitioned (a small-SF corpus
+    is one parquet file → ONE task) so the hash-heavy signature stages use
+    every core. No-op when the input already has enough partitions — at real
+    scale the file count provides the parallelism and this adds nothing."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _reuse(df: DataFrame) -> DataFrame:
+    """Materialize a small intermediate that multiple plan branches (a
+    self-join's two sides, sizes + join) would otherwise RECOMPUTE —
+    signature/shingle computation is the dominant cost of every dedup
+    family, so paying it once halves the query (measured: minhash 9.3 s →
+    ~1.5 s at sf0.1). EAGER on purpose: with a lazy checkpoint the two
+    shuffle-write stages of a self-join run inside one job BEFORE the
+    checkpoint exists and each recomputes the lineage (measured on simhash).
+    The trailing repartition matters as much as the checkpoint: AQE coalesces
+    the small aggregate to ONE partition, and a broadcast-join PROBE from a
+    1-partition stream runs single-threaded — with skewed buckets that probe
+    is the whole query (measured: simhash's 8.9M candidate probes in one
+    task, 3.5 s → 0.4 s once spread). Cluster note: swap localCheckpoint for
+    persist(StorageLevel.DISK_ONLY) if executor loss matters."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.localCheckpoint(eager=True).repartition(n)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact text duplicate group (md5 keyed)."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
@@ -55,7 +84,7 @@ def jaccard_pairs(
     ``max_doc_freq`` drops ubiquitous shingles before the self-join (the skew
     defense at scale: a shingle in f docs contributes f² join rows).
     """
-    sh = shingle_table(df, text_col, id_col, k)
+    sh = shingle_table(_spread(df), text_col, id_col, k)
     if max_doc_freq is not None:
         # doc-frequency via an unordered window over shingle: one shuffle,
         # no recompute of the shingle plan for a join-back, and the hot
@@ -67,6 +96,8 @@ def jaccard_pairs(
             .filter(F.col("__f") <= max_doc_freq)
             .drop("__f")
         )
+    # three consumers (sizes + both self-join sides) — compute shingles once
+    sh = _reuse(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -136,7 +167,7 @@ def minhash_lsh_pairs(
     bucket. Returns distinct (doc_a < doc_b) candidates. At scale the
     band-bucket join shuffles only (bucket_key, doc_id)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    sig = minhash_signatures(_spread(df), text_col, id_col, k, n_hashes)
     # ONE band-exploded equi-join on (band, bucket) instead of a union of
     # per-band self-joins: the union form recomputes the signature plan 2×
     # per band (2×bands scans of the corpus); this computes it once per join
@@ -157,6 +188,9 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # both self-join sides reuse ONE signature computation (the md5 fan-out
+    # dominates the query; without this the broadcast side recomputes it)
+    banded = _reuse(banded)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -212,7 +246,7 @@ def simhash_pairs(
 
     ``banded=False`` keeps the O(N²) pairwise reference (oracle-scale only).
     """
-    s = simhash64(df, text_col, id_col)
+    s = _reuse(simhash64(_spread(df), text_col, id_col))
     if not banded:
         a, b = s.alias("a"), s.alias("b")
         return (
@@ -244,7 +278,7 @@ def simhash_pairs(
     ex = s.select(
         "doc_id", "simhash", F.explode(blocks).alias("b")
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    a, b = ex.alias("a"), ex.alias("b")
+    a, b = ex.alias("a"), ex.alias("b")  # both sides read the checkpointed s
     return (
         a.join(
             b,
@@ -314,7 +348,7 @@ def embedding_dup_pairs(
     ``n_bands=None`` is the exact all-pairs reference (oracle scale only) —
     the DuckDB twin of the contract query computes this form.
     """
-    normed = df.select(
+    normed = _spread(df).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn(
@@ -327,6 +361,7 @@ def embedding_dup_pairs(
         lambda acc, x: acc + x,
     )
     if n_bands is None:
+        normed = _reuse(normed)
         a, b = normed.alias("a"), normed.alias("b")
         cand = a.join(b, F.col("a.vid") < F.col("b.vid"))
     else:
@@ -350,6 +385,9 @@ def embedding_dup_pairs(
             F.col("bc.band").alias("band"),
             F.col("bc.code").alias("code"),
         )
+        # both join sides reuse ONE band-code computation (n_bands ×
+        # rows_per_band plane dot products per row — the dominant cost)
+        ex = _reuse(ex)
         a, b = ex.alias("a"), ex.alias("b")
         cand = a.join(
             b,
