@@ -65,29 +65,26 @@ def with_lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j)).
 
-    ``planes`` is a tiny (plane_idx, vec) table — broadcast. Deterministic
-    given the planes; the oracle derives planes from fixed corpus rows so the
-    SQL twin is exact."""
-    p = planes.select(
-        F.col("plane_idx"), F.col(vec_col).cast("array<double>").alias("pv")
+    ``planes`` is a tiny (plane_idx, vec) table: it is COLLECTED and baked
+    into the plan as literal arrays, so the bucket is pure narrow column
+    algebra computed in place — no broadcast cross join, no groupBy shuffle,
+    no join-back (the r2 form paid all three; the literal form is the same
+    trick as dedup._lsh_band_codes). Deterministic given the planes; the
+    oracle derives planes from fixed corpus rows so the SQL twin is exact."""
+    rows = sorted(
+        planes.select(
+            "plane_idx", F.col(vec_col).cast("array<double>").alias("pv")
+        ).collect(),
+        key=lambda r: r["plane_idx"],
     )
-    v = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    bits = (
-        v.join(F.broadcast(p))
-        .withColumn(
-            "bit",
-            F.when(_dot(F.col("v"), F.col("pv")) > 0, F.lit(1)).otherwise(F.lit(0)),
-        )
-        .groupBy("vid")
-        .agg(
-            F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), F.col("plane_idx")).cast("long")
-            ).alias("bucket")
-        )
-    )
-    return df.join(bits, df[id_col] == bits["vid"]).drop("vid")
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for r in rows:
+        pv = F.array(*[F.lit(float(x)) for x in r["pv"]])
+        bucket = bucket + F.when(
+            _dot(v, pv) > 0, F.lit(1 << int(r["plane_idx"])).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn("bucket", bucket)
 
 
 def ivf_topk(
@@ -110,20 +107,57 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, cosine, rank) for each corpus row with
     ≥1 co-cell neighbour."""
-    c = centroids.select(
-        F.col("cell_idx"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
+    # centroids are tiny: bake them into the plan as literals so cell
+    # assignment is narrow in-place column algebra (array of per-cell scores
+    # → comparator sort → top-nprobe) — the r2 form paid a broadcast cross
+    # join plus a Window shuffle of N × cells rows for the same result
+    cells = sorted(
+        centroids.select(
+            "cell_idx", F.col(vec_col).cast("array<double>").alias("cv")
+        ).collect(),
+        key=lambda r: r["cell_idx"],
+    )
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("n", _norm(F.col("v")))
-    w_assign = Window.partitionBy("vid").orderBy(
-        (_dot(F.col("v"), F.col("cv")) / F.col("cn")).desc(), F.col("cell_idx").asc()
+    scored_cells = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                    )
+                    / F.lit(
+                        float(sum(x * x for x in r["cv"]) ** 0.5)
+                    )
+                ).alias("s"),
+                F.lit(int(r["cell_idx"])).alias("cell_idx"),
+            )
+            for r in cells
+        ]
     )
-    assigned = (
-        v.join(F.broadcast(c))
-        .withColumn("__cr", F.row_number().over(w_assign))
-        .filter(F.col("__cr") <= nprobe)
-        .select("vid", "v", "n", "cell_idx", F.col("__cr").alias("probe_rank"))
+    # desc by score, tie-break asc cell_idx — same total order the r2
+    # row_number() used, so results are bit-identical
+    ranked_cells = F.array_sort(
+        scored_cells,
+        lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
+        .when(x["s"] < y["s"], F.lit(1))
+        .otherwise(
+            F.when(x["cell_idx"] < y["cell_idx"], F.lit(-1))
+            .when(x["cell_idx"] > y["cell_idx"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    assigned = v.select(
+        "vid",
+        "v",
+        "n",
+        F.posexplode(F.slice(ranked_cells, 1, nprobe)).alias("__pos", "__c"),
+    ).select(
+        "vid", "v", "n",
+        F.col("__c.cell_idx").alias("cell_idx"),
+        (F.col("__pos") + 1).alias("probe_rank"),
     )
     a = assigned.alias("a")  # query side: probes nprobe cells
     b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # indexed in top cell

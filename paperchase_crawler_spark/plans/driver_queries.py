@@ -571,9 +571,10 @@ _SQL_H = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 def q_dedup_jaccard(spark, sf):
     # max_doc_freq=64 is the shingle-skew defense (a shingle in f docs makes
-    # f² join rows); the testdata's max shingle doc-freq is 25 at sf0.1, so
-    # the cap provably changes nothing here and the uncapped SQL twin still
-    # hash-matches — tests/test_dedup_scale.py pins both facts.
+    # f² join rows). The SQL twin applies the SAME cap, so Spark and oracle
+    # compute identical semantics BY CONSTRUCTION at every scale factor — a
+    # future sf bump cannot silently diverge them (r2 advice; previously the
+    # twin was uncapped and matched only because max doc-freq < 64 here).
     return D.jaccard_pairs(
         _t(spark, sf, "documents"), "text", "doc_id", k=3, threshold=0.5,
         max_doc_freq=64,
@@ -582,7 +583,10 @@ def q_dedup_jaccard(spark, sf):
 
 SQL_JACCARD = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-g AS (SELECT doc_id, unnest({_SQL_GRAMS3}) AS shingle FROM d),
+g0 AS (SELECT doc_id, unnest({_SQL_GRAMS3}) AS shingle FROM d),
+g AS (SELECT doc_id, shingle FROM (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS f FROM g0)
+  WHERE f <= 64),
 sz AS (SELECT doc_id, COUNT(*) n FROM g GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

@@ -180,3 +180,21 @@ def test_ann_hot_bucket_guard_spreads_salts(spark):
     )
     plain = S.lsh_bucketed_topk(e, planes, k=2)
     assert _rows(guarded) == _rows(plain)
+
+
+def test_embedding_banded_equals_exact_at_contract_sf(spark):
+    """r2 advice: the banded sign-LSH path is only provably identical to the
+    exact twin when every qualifying pair collides in ≥1 band. Pin that
+    precondition AT THE DRIVER'S CONTRACT SF (overridable via
+    SPARK_GRAFT_SF_DIR) with the contract parameters, so a future data/sf
+    bump fails HERE loudly instead of silently hash-mismatching the oracle."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    kw = dict(threshold=0.9, rows_per_band=8, dim=64, seed=42)
+    banded = D.embedding_dup_pairs(emb, "embedding", "vec_id", n_bands=4, **kw)
+    exact = D.embedding_dup_pairs(emb, "embedding", "vec_id", n_bands=None, **kw)
+    got = sorted(tuple(r) for r in banded.collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want
