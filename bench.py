@@ -45,9 +45,11 @@ def _frontier_round(spark, budget: int, warmup: bool = True) -> dict:
     multi-parallelism scaling evidence (scripts/bench_scaling.py).
 
     Run twice: budget 400k (> eligible supply ≈ 178k — every queued row
-    matters, so SELECT must scan all queued-bearing buckets) and budget 100k
-    (< supply — the zone-map pruned SELECT proves it can skip buckets and
-    still match the exact cut; t_select is the number to watch)."""
+    matters, so SELECT must scan all queued-bearing buckets) and budget 25k
+    (budget ≪ supply, the 10^10 design-point regime: a round wants a sliver
+    of the frontier — the zone-map pruned SELECT reads only the depth range
+    that can win and still matches the exact cut; t_select is the number to
+    watch)."""
     from bench.round_job import run_round_bench
     from scripts.bench_scaling import fixture_path, gen_frontier
 
@@ -125,9 +127,9 @@ def main() -> None:
     # once and cached under BENCH/fixtures
     frontier_stats = _frontier_round(spark, budget=400_000)
     timings["frontier_round_2m"] = frontier_stats.pop("t_round")
-    # pruned-SELECT variant: budget below the eligible supply, so the zone-map
-    # planner can skip buckets (t_select is the win; reported as its own row)
-    pruned_stats = _frontier_round(spark, budget=100_000, warmup=False)
+    # pruned-SELECT variant: budget ≪ supply, so the zone-map planner reads
+    # only the winning depth range (t_select is the win; its own row)
+    pruned_stats = _frontier_round(spark, budget=25_000, warmup=False)
     timings["frontier_round_2m_pruned_select"] = pruned_stats.pop("t_select")
     pruned_stats.pop("t_round")
 

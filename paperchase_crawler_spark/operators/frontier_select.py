@@ -208,16 +208,26 @@ def select_candidates(
 ZONE_COLS = ["state", "depth", "disc_seq", "host"]
 _ZONE_SCHEMA = (
     "file string, n_queued long, min_depth int, min_seq long, n_hosts long, "
-    "depth_hist string"
+    "depth_hist string, sel_hist string"
 )
 _MAX_SEQ = (1 << 63) - 1  # exclusive disc_seq sentinel: key < (d, _MAX_SEQ) ⟺ depth ≤ d
 
 
-def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, dict]:
+def compute_frontier_zones(
+    spark: SparkSession, files: list[str], max_tokens: int = 8
+) -> dict[str, dict]:
     """Per-file zone stats for frontier parquet files, computed in one narrow
     distributed pass over 4 columns of the NEW files only (a delta commit's
     zone cost is O(changed); real Iceberg writers emit these in manifests at
-    write time with zero extra IO)."""
+    write time with zero extra IO).
+
+    ``sel_hist`` is the politeness-capped SUPPLY curve: queued rows per depth
+    counting at most ``max_tokens`` rows per host (in depth order) — an exact
+    upper bound on how many post-token-cut survivors the file can contribute
+    below any depth, which is what the pruning planner actually needs (raw
+    row counts overestimate Zipf-hot buckets by the hot host's whole tail).
+    Computing it with a LARGER max_tokens than the engine's stays an upper
+    bound (safe, just looser); a smaller one only risks extra fallback."""
     if not files:
         return {}
 
@@ -236,32 +246,50 @@ def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, d
                 ("min_seq", pa.int64()),
                 ("n_hosts", pa.int64()),
                 ("depth_hist", pa.string()),
+                ("sel_hist", pa.string()),
             ]
         )
         for rb in batches:
             out: dict[str, list] = {
                 "file": [], "n_queued": [], "min_depth": [],
-                "min_seq": [], "n_hosts": [], "depth_hist": [],
+                "min_seq": [], "n_hosts": [], "depth_hist": [], "sel_hist": [],
             }
             for f in rb.column("file").to_pylist():
                 t = pq.read_table(f, columns=ZONE_COLS)
                 q = t.filter(pc.equal(t.column("state"), "queued"))
                 if q.num_rows == 0:
-                    d, s, nh, hist = 0, 0, 0, {}
+                    d, s, nh, hist, sel = 0, 0, 0, {}, {}
                 else:
+                    q = q.combine_chunks()
                     depth = q.column("depth").to_numpy()
                     seq = q.column("disc_seq").to_numpy()
                     d = int(depth.min())
                     s = int(seq[depth == d].min())
-                    nh = int(pc.count_distinct(q.column("host")).as_py())
+                    hcodes = (
+                        q.column("host").chunk(0).dictionary_encode().indices.to_numpy()
+                    )
+                    nh = int(hcodes.max()) + 1 if len(hcodes) else 0
                     vals, cnts = np.unique(depth, return_counts=True)
                     hist = {int(v): int(c) for v, c in zip(vals, cnts)}
+                    # capped supply: first max_tokens rows per host in depth
+                    # order, histogrammed by depth
+                    order = np.lexsort((depth, hcodes))
+                    hs_, ds_ = hcodes[order], depth[order]
+                    idx = np.arange(len(order))
+                    new_host = np.ones(len(order), dtype=bool)
+                    if len(order) > 1:
+                        new_host[1:] = hs_[1:] != hs_[:-1]
+                    start = np.maximum.accumulate(np.where(new_host, idx, 0))
+                    keep = (idx - start) < max_tokens
+                    sv, sc = np.unique(ds_[keep], return_counts=True)
+                    sel = {int(v): int(c) for v, c in zip(sv, sc)}
                 out["file"].append(f)
                 out["n_queued"].append(q.num_rows)
                 out["min_depth"].append(d)
                 out["min_seq"].append(s)
                 out["n_hosts"].append(nh)
                 out["depth_hist"].append(json.dumps(hist))
+                out["sel_hist"].append(json.dumps(sel))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(v, type=schema.field(i).type) for i, v in enumerate(out.values())],
                 schema=schema,
@@ -278,6 +306,7 @@ def compute_frontier_zones(spark: SparkSession, files: list[str]) -> dict[str, d
             "min_seq": r["min_seq"],
             "n_hosts": r["n_hosts"],
             "depth_hist": json.loads(r["depth_hist"]),
+            "sel_hist": json.loads(r["sel_hist"]),
         }
         for r in rows
     }
@@ -305,42 +334,41 @@ def _pruned_bucket_plan(
     no queued row below tau are never opened). Buckets with zero queued rows
     anywhere are skipped unconditionally — exact with no verification, since
     a row whose latest version is queued is queued in some file."""
-    entries = []  # (bucket, files, hist, host_cap) for queued-bearing buckets
+    entries = []  # (bucket, files, hist) for queued-bearing buckets
     n_total = 0
     depth_tot: dict[int, int] = {}
+    sel_tot: dict[int, int] = {}
     for b in sorted(plan, key=int):
         files = plan[b]["base"] + plan[b]["delta"]
         if not files:
             continue
         n_total += 1
         hist: dict[int, int] = {}
-        nh = 0
         for f in files:
             z = zones.get(f)
-            if not z:
+            if not z or "sel_hist" not in z:
                 return None
-            nh += z.get("n_hosts", 0)
             for d, n in z.get("depth_hist", {}).items():
                 hist[int(d)] = hist.get(int(d), 0) + n
+            for d, n in z["sel_hist"].items():
+                sel_tot[int(d)] = sel_tot.get(int(d), 0) + n
         if not hist:
             continue  # provably no queued rows — skip unconditionally
-        entries.append((int(b), files, hist, nh * max_tokens))
+        entries.append((int(b), files, hist))
         for d, n in hist.items():
             depth_tot[d] = depth_tot.get(d, 0) + n
     total_q = sum(depth_tot.values())
     target = overscan * budget
-    # choose the smallest d* whose POLITENESS-CAPPED capacity covers the
-    # target: a bucket's survivors are ≤ min(queued rows ≤ d*, hosts ×
-    # max_tokens) — raw row counts alone overestimate post-token-cut supply
-    # and would pick a d* that trips the fallback
+    # choose the smallest d* whose POLITENESS-CAPPED supply (sel_hist: per
+    # depth, at most max_tokens rows per host) covers the target — raw row
+    # counts overestimate Zipf-hot buckets by the hot host's entire tail and
+    # would pick a d* that trips the fallback
     d_star = None
     acc = 0
+    cap = 0
     for d in sorted(depth_tot):
         acc += depth_tot[d]
-        cap = sum(
-            min(sum(n for dd, n in hist.items() if dd <= d), host_cap)
-            for (_, _, hist, host_cap) in entries
-        )
+        cap += sel_tot.get(d, 0)
         if cap >= target:
             d_star = d
             break
@@ -351,13 +379,13 @@ def _pruned_bucket_plan(
     ):
         # row pruning can't skip a useful fraction: scan all queued-bearing
         # buckets unfiltered (exact, no verification cost)
-        rows = [(b, files) for (b, files, _, _) in entries]
+        rows = [(b, files) for (b, files, _) in entries]
         tau = None
     else:
         tau = (d_star, _MAX_SEQ)
         rows = [
             (b, files)
-            for (b, files, hist, _) in entries
+            for (b, files, hist) in entries
             if any(d <= d_star for d in hist)
         ]
     info = {
@@ -377,7 +405,7 @@ def select_candidates_pruned(
     tbl: IceTable,
     max_tokens: int,
     budget: int,
-    overscan: float = 4.0,
+    overscan: float = 3.0,
     max_scan_frac: float = 0.75,
 ):
     """Zone-map pruned candidate scan. Returns (candidates_df, tau, info);
@@ -414,7 +442,7 @@ def select_frontier_round(
     max_tokens: int,
     salts: int,
     rank_start: int = 0,
-    prune_overscan: float = 4.0,
+    prune_overscan: float = 3.0,
     max_scan_frac: float = 0.75,
 ):
     """The production SELECT stage, shared by the crawl loop and the bench:

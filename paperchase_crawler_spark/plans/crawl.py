@@ -211,7 +211,7 @@ class CrawlRunner:
     # -- frontier MoR commits ---------------------------------------------------
 
     def _zone_fn(self, files: list[str]) -> dict[str, dict]:
-        return compute_frontier_zones(self.spark, files)
+        return compute_frontier_zones(self.spark, files, self.max_tokens)
 
     def _with_layout(self, df: DataFrame) -> DataFrame:
         nb, s = self.frontier_buckets, self.frontier_salts

@@ -151,13 +151,13 @@ class IceTable:
 
     def _write_bucketed(self, df: DataFrame, sid: int) -> tuple[dict[str, list[str]], dict[str, int]]:
         """df must carry an int ``__fb`` bucket column; one file per bucket.
-        Row groups are capped small (4 MB vs the 128 MB default) so sorted
+        Row groups are capped small (1 MB vs the 128 MB default) so sorted
         buckets give zone-pruned readers row-group-granular predicate
         pushdown; on a real cluster the default is fine — 128 MB over a
         sorted multi-GB bucket is already selective."""
         sub = os.path.join(self.data_dir, f"s{sid}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").option(
-            "parquet.block.size", str(4 << 20)
+            "parquet.block.size", str(1 << 20)
         ).partitionBy("__fb").parquet(sub)
         buckets: dict[str, list[str]] = {}
         counts: dict[str, int] = {}
