@@ -1038,6 +1038,42 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
+def q_seen_filter_cuckoo(spark, sf):
+    """URL-seen pre-filter, CUCKOO backend (operators/cuckoo.py — the other
+    half of north_rule's "Bloom/cuckoo"): candidates = orders with
+    o_orderkey % 3 = 0, seen-set = lineitem orderkeys with l_orderkey % 2
+    = 0; result = candidates not in the seen set. The cuckoo probe routes
+    certainly-new rows past the exact anti-join (no false negatives), so the
+    output is EXACT and the plain anti-join SQL twin hash-matches — the same
+    traffic-reducer contract the crawl's Bloom path has, plus deletability."""
+    from ..operators.cuckoo import CuckooSeen
+    from ..operators.seen import filter_new
+
+    ck = CuckooSeen(n_buckets=64, m_slots=1 << 12, ways=4)
+    cand = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(F.col("o_orderkey").alias("url_hash"))
+    )
+    seen = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select(F.col("l_orderkey").alias("url_hash"))
+        .distinct()
+    )
+    shards = ck.build(seen)
+    return filter_new(cand, seen, ck, shards).select(
+        F.col("url_hash").alias("o_orderkey")
+    )
+
+
+SQL_SEEN_CUCKOO = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey % 3 = 0
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_orderkey % 2 = 0)
+"""
+
+
 def q_bitmap_distinct(spark, sf):
     """Exact distinct via Spark's bitmap agg surface (bitmap_bucket_number /
     bitmap_bit_position / bitmap_construct_agg / bitmap_count) — the exact
@@ -1172,6 +1208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
+    "q_seen_filter_cuckoo": q_seen_filter_cuckoo,
     "q_bitmap_distinct": q_bitmap_distinct,
     "q_approx_distinct": q_approx_distinct,
     "q_levenshtein": q_levenshtein,
@@ -1212,6 +1249,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_text_quality": SQL_TEXT_QUALITY,
     "q_langid": SQL_LANGID,
     "q_fingerprint": SQL_FINGERPRINT,
+    "q_seen_filter_cuckoo": SQL_SEEN_CUCKOO,
     "q_bitmap_distinct": SQL_BITMAP,
     # q_approx_distinct: intentionally no oracle (approx algorithms differ
     # across engines) — driver records the weaker rows-only check.
