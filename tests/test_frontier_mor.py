@@ -361,3 +361,32 @@ def test_rebucket_split_preserves_equivalence(spark, tmp_path):
     ]
     assert eng == oracle.ordering
     assert {r["url_hash"] for r in resumed.seen_df().collect()} == oracle.seen
+
+
+def test_crawl_equivalence_with_pruning_engaged(spark, tmp_path):
+    """End-to-end: a small-budget crawl where the zone-map pruned SELECT
+    actually engages (tau set, no fallback needed for exactness — fallback
+    rounds are fine too, they're exact by construction) must reproduce the
+    oracle's ordering and seen set bit-exactly. Asserts via crawl_log meta
+    that at least one round really pruned (tau non-null) so this test cannot
+    silently degrade into full-scan-only coverage."""
+    seeds = simweb.seed_urls(64)
+    oracle = oracle_crawl(seeds, rounds=4, round_budget=10)
+    runner = run_crawl(
+        spark, str(tmp_path / "pe"), seeds, 4, 10,
+        with_bytes=False, frontier_buckets=4, frontier_salts=1,
+    )
+    eng = [
+        (r["seq"], r["round"], r["canon_url"])
+        for r in runner.ordering_df().orderBy("seq").collect()
+    ]
+    assert eng == oracle.ordering
+    assert {r["url_hash"] for r in runner.seen_df().collect()} == oracle.seen
+    prune_infos = [
+        runner.crawl_log.snapshot(s)["meta"].get("select_pruning")
+        for s in runner.crawl_log.snapshot_ids()
+    ]
+    engaged = [
+        p for p in prune_infos if p and p.get("tau") and not p.get("fallback")
+    ]
+    assert engaged, f"pruning never engaged: {prune_infos}"
