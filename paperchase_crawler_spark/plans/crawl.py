@@ -278,7 +278,12 @@ class CrawlRunner:
         nb = self.frontier_buckets
         while total / (nb * self.frontier_salts) > self.rows_per_bucket_target / 2:
             nb *= 2
-        nb = max(nb, self.frontier_buckets * 2)
+        if nb <= self.frontier_buckets:
+            # the oversized bucket is single-host skew, which doubling the
+            # HOST-hash bucket count can never split (a host always lands in
+            # `salts` buckets) — frontier_salts is the knob for that; forcing
+            # a doubling here would re-double on every compaction forever
+            return
         merged = merged_frontier(self.spark, self.frontier).select(*FRONTIER_COLS)
         self.frontier_buckets = nb
         self._frontier_overwrite(merged, meta={"op": "rebucket", "n_buckets": nb})
