@@ -390,3 +390,69 @@ def test_crawl_equivalence_with_pruning_engaged(spark, tmp_path):
         p for p in prune_infos if p and p.get("tau") and not p.get("fallback")
     ]
     assert engaged, f"pruning never engaged: {prune_infos}"
+
+
+def test_pruned_select_randomized_equivalence(spark, tmp_path):
+    """Seeded-random frontiers (states × depths × hosts × budgets × salts):
+    the pruned production SELECT must equal the reference pipeline on every
+    draw — guards the τ-exactness proof against edge cases the handcrafted
+    tests miss (fallback draws are equally valid: they must also match)."""
+    import random
+
+    from paperchase_crawler_spark.operators.frontier_select import (
+        exact_per_host_cut,
+        select_candidates,
+        select_frontier_round,
+    )
+    from paperchase_crawler_spark.operators.ordering import global_topk_ranked
+    from paperchase_crawler_spark.operators.politeness import R3_KEYS, eligible_hosts
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n_hosts = rng.randint(4, 14)
+        salts = rng.choice([1, 2])
+        budget = rng.choice([5, 17, 60])
+        tokens = rng.randint(1, 4)
+        rows = []
+        for i in range(400):
+            h = rng.randrange(n_hosts)
+            rows.append(
+                _row(
+                    f"https://h{h}.example/p/{seed}-{i}",
+                    state=rng.choice(["queued", "queued", "queued", "fetched"]),
+                    depth=rng.randrange(6),
+                    seq=seed * 1000 + i,
+                )
+            )
+        tbl = IceTable(str(tmp_path / f"r{seed}"))
+        df = _frontier_rows(spark, rows)
+        from paperchase_crawler_spark.operators.frontier_select import (
+            compute_frontier_zones,
+        )
+
+        staged = (
+            df.withColumn("__rev", F.lit(0).cast("int"))
+            .withColumn("__fb", frontier_bucket_col(8, salts))
+            .repartition(8 * salts, F.col("__fb"))
+        )
+        tbl.overwrite_bucketed(
+            staged, n_buckets=8 * salts,
+            zone_fn=lambda files: compute_frontier_zones(spark, files),
+        )
+        hs = _hs_df(spark, [f"h{i}.example" for i in range(n_hosts)], tokens=tokens)
+        got_df, info = select_frontier_round(
+            spark, tbl, hs, round_no=1, budget=budget, max_tokens=8, salts=salts
+        )
+        ref = global_topk_ranked(
+            exact_per_host_cut(
+                eligible_hosts(
+                    select_candidates(spark, tbl, 8).join(
+                        F.broadcast(hs), "host", "inner"
+                    ),
+                    1,
+                ),
+                salts,
+            ),
+            R3_KEYS, budget, "seq", 0,
+        )
+        assert _ranked_set(got_df) == _ranked_set(ref), (seed, info)
