@@ -169,3 +169,64 @@ def filter_new(
     certain_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     return certain_new.unionByName(anti_join_seen(suspects, seen_exact))
+
+
+def filter_new_bucketed(
+    spark,
+    candidates: DataFrame,
+    seen_tbl,
+    bloom: BloomSeen,
+    shards: DataFrame,
+    n_seen_buckets: int,
+    key: str = "url_hash",
+):
+    """Exact not-yet-seen filter that never scans the whole seen table.
+
+    The r2 design Bloom-reduced the JOIN traffic but the exact verify still
+    READ the entire seen set every round — the last O(big-table)-per-round
+    scan besides the frontier's (now zone-pruned). With the seen table
+    BUCKETED by pmod(url_hash, B) (sources/icetable bucketed commits), the
+    Bloom's no-false-negative guarantee means every truly-seen candidate is a
+    suspect, so the exact verify only needs the buckets the suspects hash
+    into: read those buckets' files, map-side semi-join against the
+    broadcast suspect set, and anti-join the (tiny) truly-seen result back.
+    A round reads O(suspect_buckets / B) of the seen set — at steady state
+    suspects ≈ FPR × duplicate traffic, so the read is a sliver — and
+    NOTHING here shuffles (both joins broadcast the small side).
+
+    Returns (new_df, info) where info records the read scope for the
+    crawl_log (suspect_buckets / total_buckets / files_read)."""
+    probed = bloom.probe(candidates, shards).localCheckpoint(eager=True)
+    certain_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    bucket_rows = (
+        suspects.groupBy(F.pmod(F.col(key), F.lit(n_seen_buckets)).alias("b"))
+        .count()
+        .collect()
+    )
+    info = {
+        "total_buckets": n_seen_buckets,
+        "suspect_buckets": len(bucket_rows),
+        "n_suspects": int(sum(r["count"] for r in bucket_rows)),
+    }
+    if not bucket_rows:
+        info["files_read"] = 0
+        return certain_new, info
+    plan = seen_tbl.bucket_plan()
+    files = [
+        f
+        for r in bucket_rows
+        for f in (
+            plan.get(str(r["b"]), {"base": [], "delta": []})["base"]
+            + plan.get(str(r["b"]), {"base": [], "delta": []})["delta"]
+        )
+    ]
+    info["files_read"] = len(files)
+    if not files:
+        return certain_new.unionByName(suspects), info
+    seen_sub = spark.read.schema(f"{key} long").parquet(*files)
+    truly_seen = seen_sub.join(
+        F.broadcast(suspects.select(key)), on=key, how="left_semi"
+    )
+    new_suspects = suspects.join(F.broadcast(truly_seen), on=key, how="left_anti")
+    return certain_new.unionByName(new_suspects), info

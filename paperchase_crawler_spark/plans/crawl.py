@@ -62,7 +62,7 @@ from ..operators.frontier_select import (
 )
 from ..operators.ordering import with_global_rank
 from ..operators.robots import blocked_expr, path_col
-from ..operators.seen import BloomSeen, filter_new
+from ..operators.seen import BloomSeen, filter_new, filter_new_bucketed
 from ..schemas import HOST_STATE, HOST_TOUCH
 from ..sources.icetable import IceTable
 
@@ -88,6 +88,8 @@ class CrawlRunner:
         bloom_shards_per_bucket: int = 8,
         bloom_shard_groups: int = 16,
         rows_per_bucket_target: int = 5_000_000,
+        seen_buckets: int = 64,
+        seen_files_per_bucket: int = 8,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -108,6 +110,10 @@ class CrawlRunner:
         self.bloom_shards_per_bucket = bloom_shards_per_bucket
         self.bloom_shard_groups = bloom_shard_groups
         self.rows_per_bucket_target = rows_per_bucket_target
+        # seen layout: pmod(url_hash, seen_buckets) — lets the exact verify
+        # read ONLY the buckets Bloom suspects hash into (filter_new_bucketed)
+        self.seen_buckets = seen_buckets
+        self.seen_files_per_bucket = seen_files_per_bucket
         self.frontier = IceTable(os.path.join(workdir, "frontier"))
         self.corpus = IceTable(os.path.join(workdir, "corpus"))
         self.seen = IceTable(os.path.join(workdir, "seen"))
@@ -153,6 +159,8 @@ class CrawlRunner:
             "bloom_shards_per_bucket": self.bloom_shards_per_bucket,
             "bloom_shard_groups": self.bloom_shard_groups,
             "rows_per_bucket_target": self.rows_per_bucket_target,
+            "seen_buckets": self.seen_buckets,
+            "seen_files_per_bucket": self.seen_files_per_bucket,
             "bloom": None
             if self.bloom is None
             else {
@@ -192,6 +200,8 @@ class CrawlRunner:
             bloom_shards_per_bucket=state["bloom_shards_per_bucket"],
             bloom_shard_groups=state["bloom_shard_groups"],
             rows_per_bucket_target=state["rows_per_bucket_target"],
+            seen_buckets=state["seen_buckets"],
+            seen_files_per_bucket=state["seen_files_per_bucket"],
         )
         r.round = state["round"]
         r.next_disc_seq = state["next_disc_seq"]
@@ -312,6 +322,34 @@ class CrawlRunner:
     def _bloom_group_col(self) -> F.Column:
         return F.pmod(F.col("bucket"), F.lit(self.bloom_shard_groups)).cast("int")
 
+    def _seen_layout(self, df: DataFrame) -> DataFrame:
+        sb = self.seen_buckets
+        return df.select("url_hash").withColumn(
+            "__fb", F.pmod(F.col("url_hash"), F.lit(sb)).cast("int")
+        ).repartition(sb, F.col("__fb"))
+
+    def _maybe_compact_seen(self, r: int) -> None:
+        """Fold a seen bucket's delta files into one once they exceed
+        seen_files_per_bucket — bucket-scoped like the Bloom/frontier
+        compactions: cold buckets' files are untouched."""
+        bk = self.seen.snapshot()["meta"]["buckets"]
+        hot = [
+            b
+            for b in bk["base"]
+            if len(bk["base"].get(b, [])) + len(bk.get("delta", {}).get(b, []))
+            > self.seen_files_per_bucket
+        ]
+        if not hot:
+            return
+        plan = self.seen.bucket_plan()
+        files = [f for b in hot for f in plan[b]["base"] + plan[b]["delta"]]
+        merged = self._seen_layout(
+            self.spark.read.schema("url_hash long").parquet(*files)
+        )
+        self.seen.overwrite_buckets_partial(
+            merged, hot, meta={"round": r, "op": "compaction"}
+        )
+
     def init_from_seeds(self, seeds: list[str]) -> None:
         if os.path.exists(self._ckpt_path()):
             raise ValueError(
@@ -359,7 +397,9 @@ class CrawlRunner:
             ranked.withColumn("depth", F.lit(0)), round_disc=0
         )
         self._frontier_overwrite(rows, meta={"round": 0})
-        self.seen.append(rows.select("url_hash"), meta={"round": 0})
+        self.seen.overwrite_bucketed(
+            self._seen_layout(rows), n_buckets=self.seen_buckets, meta={"round": 0}
+        )
         if self.bloom is not None:
             # shard table is bucketed by shard GROUP (bucket % G) so later
             # compaction can rewrite only groups that accumulated shards
@@ -508,13 +548,20 @@ class CrawlRunner:
                 "s.canon_url",
             )
         )
-        seen_df = self.seen.read(spark)
         shards = (
             self.bloom_shards.read(spark)
             if self.bloom is not None and self.bloom_shards.current_snapshot_id() is not None
             else None
         )
-        new = filter_new(dedup, seen_df, self.bloom, shards)
+        if shards is not None:
+            # bucket-pruned exact verify: reads only the seen buckets the
+            # Bloom suspects hash into, never the whole seen set
+            new, seen_info = filter_new_bucketed(
+                spark, dedup, self.seen, self.bloom, shards, self.seen_buckets
+            )
+        else:
+            new = filter_new(dedup, self.seen.read(spark))
+            seen_info = {"path": "exact_full_scan"}
         new_ranked = with_global_rank(
             new, ["seq", "pos"], "disc_seq_new", start=self.next_disc_seq
         ).select(
@@ -543,10 +590,14 @@ class CrawlRunner:
                 "n_new": n_new,
                 "n_blocked_enqueued": n_blocked_enqueued,
                 "select_pruning": prune_info,
+                "seen_filter": seen_info,
             },
         )
         if n_new:
-            self.seen.append(new_rows.select("url_hash"), meta={"round": r})
+            self.seen.append_bucketed_delta(
+                self._seen_layout(new_rows), meta={"round": r}
+            )
+            self._maybe_compact_seen(r)
             if self.bloom is not None:
                 # incremental: append ONLY the round's new-key shards (the
                 # probe ORs a bucket's shard rows); compaction is GROUP-

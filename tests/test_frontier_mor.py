@@ -456,3 +456,33 @@ def test_pruned_select_randomized_equivalence(spark, tmp_path):
             R3_KEYS, budget, "seq", 0,
         )
         assert _ranked_set(got_df) == _ranked_set(ref), (seed, info)
+
+
+def test_seen_verify_reads_bucket_subset(spark, tmp_path):
+    """Bloom-mode crawl: the exact seen verify must read only the buckets the
+    suspects hash into (crawl_log meta proves the scope), while the crawl
+    stays oracle-equal — the seen table is never fully scanned in a round."""
+    from paperchase_crawler_spark.operators.seen import BloomSeen
+
+    seeds = simweb.seed_urls(12)
+    oracle = oracle_crawl(seeds, rounds=3, round_budget=150)
+    runner = run_crawl(
+        spark, str(tmp_path / "sb"), seeds, 3, 150,
+        with_bytes=False, frontier_buckets=4,
+        bloom=BloomSeen(n_buckets=32), seen_buckets=16,
+    )
+    eng = [
+        (r["seq"], r["round"], r["canon_url"])
+        for r in runner.ordering_df().orderBy("seq").collect()
+    ]
+    assert eng == oracle.ordering
+    assert {r["url_hash"] for r in runner.seen_df().collect()} == oracle.seen
+    infos = [
+        runner.crawl_log.snapshot(s)["meta"].get("seen_filter")
+        for s in runner.crawl_log.snapshot_ids()
+    ]
+    assert all(i and "suspect_buckets" in i for i in infos), infos
+    # scope recorded and bounded: never more buckets than suspects require
+    for i in infos:
+        assert i["suspect_buckets"] <= i["total_buckets"]
+        assert i["suspect_buckets"] <= max(i["n_suspects"], 1)
