@@ -31,9 +31,12 @@ layout IS the partitioning), the frontier commit appends only the round's
 state transitions + new rows (merge-on-read, compaction-managed), the Bloom
 commit appends only the round's new-key shards (probe ORs shard rows), and
 images never enter wide shuffles (corpus bytes take the append-only path).
-The seen anti-join is Bloom-pre-filtered so only ~FPR of duplicate traffic
-reaches the exact join; fetch results are checkpointed once and feed four
-consumers without re-fetch. On a real cluster replace localCheckpoint with
+The seen-set verify is Bloom-pre-filtered AND bucket-pruned: only ~FPR of
+duplicate traffic needs exact verification, and the verify READS only the
+seen buckets those suspects hash into (map-side broadcast semi/anti joins —
+operators/seen.filter_new_bucketed), so no round ever scans the whole seen
+set. Fetch results are checkpointed once and feed four consumers without
+re-fetch. On a real cluster replace localCheckpoint with
 persist(DISK_ONLY) and icetable with Iceberg (bucket transform + MERGE)."""
 
 from __future__ import annotations

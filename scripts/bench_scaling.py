@@ -165,6 +165,7 @@ def run_level(
     tokens_mult: int,
     hosts: int,
     salts: int,
+    repeats: int = 3,
 ) -> dict:
     cmd = [
         SPARK_SUBMIT,
@@ -186,8 +187,15 @@ def run_level(
         "--hosts", str(hosts),
         "--salts", str(salts),
     ]
+    # best-of-N: this shared VM takes bursty CPU-steal hits (same-day full
+    # sessions measured 2→8 efficiency 0.946 vs 0.796 purely from a steal
+    # burst landing inside ONE level's window; the bare-multiprocessing
+    # ceiling moved with it). Best-of-N per level is symmetric across levels
+    # and recovers the machine's uncontended rate; the per-repeat spread is
+    # reported so the noise floor is visible, not hidden.
     best = None
-    for _ in range(2):  # best-of-2: the sandbox VM shows CPU-steal noise
+    t_rounds = []
+    for _ in range(repeats):
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         parsed = None
         for line in out.stdout.splitlines():
@@ -199,8 +207,10 @@ def run_level(
                 f"no JSON from local[{cores}]:\nSTDOUT:{out.stdout[-2000:]}\n"
                 f"STDERR:{out.stderr[-2000:]}"
             )
+        t_rounds.append(parsed["t_round"])
         if best is None or parsed["t_round"] < best["t_round"]:
             best = parsed
+    best["t_round_repeats"] = sorted(t_rounds)
     return best
 
 
@@ -253,6 +263,9 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    spreads = "; ".join(
+        f"local[{c}]: {res[c].get('t_round_repeats')}" for c in args.levels
+    )
     rows_tbl = "\n".join(
         f"| local[{c}] | {res[c]['urls_per_sec']} | {res[c]['images_per_sec']} | "
         f"{res[c]['t_select']}s | {res[c]['t_fetch_meta']}s | "
@@ -271,12 +284,17 @@ narrow per-bucket Arrow merge + per-host top-k with NO frontier-sized shuffle
 (mapInPandas) → pass-2 image synthesis+encode (mapInArrow, Arrow-native) →
 fused expand+seen (canonicalize → xxhash64 → dedup → cogrouped Bloom probe +
 exact anti-join). {args.hosts:,} hosts (hottest ≈ 15-20% of URLs), budget
-{args.budget:,}, politeness tokens 2-5/host. Fresh JVM per level, identical
-input.
+{args.budget:,}, politeness tokens 2-5/host. Fresh JVM per run, BEST-OF-3
+runs per level (this shared VM takes bursty CPU-steal hits — same-day full
+sessions measured 2→8 efficiency 0.946 vs 0.796 from one burst landing in
+one level's window; best-of-N is symmetric across levels and the per-repeat
+t_round spreads below keep the noise floor visible), identical input.
 
 | level | frontier URLs/sec | images/sec | t_select | t_fetch_meta | t_fetch_imgs | t_expand_seen | t_round | bloom_build* | hw ceiling imgs/s** |
 |---|---|---|---|---|---|---|---|---|---|
 {rows_tbl}
+
+Per-repeat t_round spreads: {spreads}.
 
 Rows: selected {res[hi]['n_selected']:,}, images {res[hi]['n_images']:,},
 outlinks {res[hi]['n_outlinks']:,}, new URLs {res[hi]['n_new']:,}.
