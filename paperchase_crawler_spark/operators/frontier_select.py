@@ -444,20 +444,26 @@ def select_frontier_round(
     rank_start: int = 0,
     prune_overscan: float = 3.0,
     max_scan_frac: float = 0.75,
+    broadcast_hosts: bool = True,
 ):
     """The production SELECT stage, shared by the crawl loop and the bench:
     zone-pruned bucket scan → broadcast host_state eligibility (R5 delay) →
     exact per-host token cut → fused exact global budget cut + rank. The
     pruned path is verified exact (see module notes); when the verification
     count falls short the stage transparently re-runs on the full scan.
-    Returns (ranked_df, info)."""
+    Returns (ranked_df, info).
+
+    ``broadcast_hosts``: the host dimension is broadcast by default (right
+    for ≲10^7 hosts). At the extreme design point (10^8 hosts, multi-GB
+    dimension) pass False — the eligibility join then shuffles on host,
+    which is O(candidates + hosts), still never O(frontier)."""
     from .ordering import global_topk_ranked
     from .politeness import R3_KEYS, eligible_hosts
 
+    hs = F.broadcast(host_state_df) if broadcast_hosts else host_state_df
+
     def _cut(cand: DataFrame) -> DataFrame:
-        elig = eligible_hosts(
-            cand.join(F.broadcast(host_state_df), on="host", how="inner"), round_no
-        )
+        elig = eligible_hosts(cand.join(hs, on="host", how="inner"), round_no)
         return exact_per_host_cut(elig, salts)
 
     cand, tau, info = select_candidates_pruned(
