@@ -81,6 +81,11 @@ def global_topk_ranked(
     the SAME per-partition counts job and changes the return to
     ``(df, n_pred)`` — the zone-map pruned SELECT uses it to verify its
     exactness bound without a second pass (frontier_select)."""
+    if k <= 0:
+        # guard BEFORE any job: an empty offsets map would otherwise build
+        # create_map() of VOID type (found by the budget=0 edge test)
+        empty = df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
+        return empty if count_pred is None else (empty, 0)
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
     aggs = [F.count("*").alias("cnt")]
     if count_pred is not None:

@@ -133,3 +133,42 @@ def test_bloom_mode_equivalence(spark, tmp_path, oracle):
     _assert_match(runner, oracle, check_corpus=False)
     # corpus row count still matches even without bytes
     assert runner.corpus_df().count() == len(oracle.corpus)
+
+
+def test_duplicate_seeds_dedup_to_same_crawl(spark, tmp_path):
+    """R2/R4: duplicated + reshuffled seed lists must dedup (first occurrence
+    wins) and crawl identically to the oracle fed the same noisy list."""
+    dup_seeds = SEEDS + SEEDS[::-1] + SEEDS[:3]
+    oracle_dup = oracle_crawl(dup_seeds, rounds=2, round_budget=60)
+    runner = run_crawl(
+        spark, str(tmp_path / "dup"), dup_seeds, 2, 60, with_bytes=False
+    )
+    eng = [
+        (r["seq"], r["round"], r["canon_url"])
+        for r in runner.ordering_df().orderBy("seq").collect()
+    ]
+    assert eng == oracle_dup.ordering
+    assert {r["url_hash"] for r in runner.seen_df().collect()} == oracle_dup.seen
+
+
+def test_zero_budget_rounds_are_noops(spark, tmp_path):
+    """budget=0: rounds select nothing, commit nothing data-bearing, and the
+    crawl stays resumable."""
+    wd = str(tmp_path / "z")
+    runner = CrawlRunner(spark, wd, round_budget=0, with_bytes=False)
+    runner.init_from_seeds(SEEDS)
+    out = runner.run(2)
+    assert all(o["n_selected"] == 0 for o in out)
+    assert runner.ordering.current_snapshot_id() is None  # nothing fetched
+    resumed = CrawlRunner.resume(spark, wd)
+    assert resumed.run(1)[0]["n_selected"] == 0
+
+
+def test_empty_seed_list(spark, tmp_path):
+    """No seeds: init succeeds with empty tables; a round is a clean no-op
+    (the empty-manifest guards, not a crash)."""
+    runner = CrawlRunner(
+        spark, str(tmp_path / "e"), round_budget=10, with_bytes=False
+    )
+    runner.init_from_seeds([])
+    assert runner.run(1)[0]["n_selected"] == 0
