@@ -32,7 +32,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _reuse(df: DataFrame) -> DataFrame:
+def _reuse(df: DataFrame, spread: bool = True) -> DataFrame:
     """Materialize a small intermediate that multiple plan branches (a
     self-join's two sides, sizes + join) would otherwise RECOMPUTE —
     signature/shingle computation is the dominant cost of every dedup
@@ -40,14 +40,21 @@ def _reuse(df: DataFrame) -> DataFrame:
     ~1.5 s at sf0.1). EAGER on purpose: with a lazy checkpoint the two
     shuffle-write stages of a self-join run inside one job BEFORE the
     checkpoint exists and each recomputes the lineage (measured on simhash).
-    The trailing repartition matters as much as the checkpoint: AQE coalesces
-    the small aggregate to ONE partition, and a broadcast-join PROBE from a
+    ``spread`` re-spreads the checkpoint across cores and matters as much as
+    the checkpoint itself for BROADCAST-join consumers: AQE coalesces the
+    small aggregate to ONE partition, and a broadcast-join PROBE from a
     1-partition stream runs single-threaded — with skewed buckets that probe
     is the whole query (measured: simhash's 8.9M candidate probes in one
-    task, 3.5 s → 0.4 s once spread). Cluster note: swap localCheckpoint for
-    persist(StorageLevel.DISK_ONLY) if executor loss matters."""
+    task, 3.5 s → 0.4 s once spread). For SHUFFLE-join consumers pass
+    spread=False — the join re-shuffles by its key anyway and the extra
+    round-robin exchange only costs (measured on jaccard: 3.3 s → 2.0 s).
+    Cluster note: swap localCheckpoint for persist(StorageLevel.DISK_ONLY)
+    if executor loss matters."""
+    ck = df.localCheckpoint(eager=True)
+    if not spread:
+        return ck
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.localCheckpoint(eager=True).repartition(n)
+    return ck.repartition(n)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -96,8 +103,9 @@ def jaccard_pairs(
             .filter(F.col("__f") <= max_doc_freq)
             .drop("__f")
         )
-    # three consumers (sizes + both self-join sides) — compute shingles once
-    sh = _reuse(sh)
+    # three consumers (sizes + both self-join sides) — compute shingles once;
+    # the self-join is a SHUFFLE join on shingle, so no re-spread needed
+    sh = _reuse(sh, spread=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
