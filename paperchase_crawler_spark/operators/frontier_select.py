@@ -213,6 +213,47 @@ _ZONE_SCHEMA = (
 _MAX_SEQ = (1 << 63) - 1  # exclusive disc_seq sentinel: key < (d, _MAX_SEQ) ⟺ depth ≤ d
 
 
+def _zone_stats_one(f: str, max_tokens: int) -> dict:
+    """Zone stats for ONE frontier parquet file (the shared kernel of the
+    inline and distributed paths)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f, columns=ZONE_COLS)
+    q = t.filter(pc.equal(t.column("state"), "queued"))
+    if q.num_rows == 0:
+        return {
+            "n_queued": 0, "min_depth": 0, "min_seq": 0, "n_hosts": 0,
+            "depth_hist": {}, "sel_hist": {},
+        }
+    q = q.combine_chunks()
+    depth = q.column("depth").to_numpy()
+    seq = q.column("disc_seq").to_numpy()
+    d = int(depth.min())
+    s = int(seq[depth == d].min())
+    hcodes = q.column("host").chunk(0).dictionary_encode().indices.to_numpy()
+    nh = int(hcodes.max()) + 1 if len(hcodes) else 0
+    vals, cnts = np.unique(depth, return_counts=True)
+    hist = {int(v): int(c) for v, c in zip(vals, cnts)}
+    # capped supply: first max_tokens rows per host in depth order,
+    # histogrammed by depth
+    order = np.lexsort((depth, hcodes))
+    hs_, ds_ = hcodes[order], depth[order]
+    idx = np.arange(len(order))
+    new_host = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        new_host[1:] = hs_[1:] != hs_[:-1]
+    start = np.maximum.accumulate(np.where(new_host, idx, 0))
+    keep = (idx - start) < max_tokens
+    sv, sc = np.unique(ds_[keep], return_counts=True)
+    sel = {int(v): int(c) for v, c in zip(sv, sc)}
+    return {
+        "n_queued": q.num_rows, "min_depth": d, "min_seq": s, "n_hosts": nh,
+        "depth_hist": hist, "sel_hist": sel,
+    }
+
+
 def compute_frontier_zones(
     spark: SparkSession, files: list[str], max_tokens: int = 8
 ) -> dict[str, dict]:
@@ -227,16 +268,21 @@ def compute_frontier_zones(
     below any depth, which is what the pruning planner actually needs (raw
     row counts overestimate Zipf-hot buckets by the hot host's whole tail).
     Computing it with a LARGER max_tokens than the engine's stays an upper
-    bound (safe, just looser); a smaller one only risks extra fallback."""
+    bound (safe, just looser); a smaller one only risks extra fallback.
+
+    Small commits (≤ 64 MB across the new files — every per-round delta)
+    compute inline on the driver: a Spark job costs ~0.4 s of fixed overhead
+    per round for ~20 ms of actual work. Large commits (init base, rare
+    re-buckets) run the same kernel distributed."""
+    import os as _os
+
     if not files:
         return {}
+    if sum(_os.path.getsize(f) for f in files) <= (64 << 20):
+        return {f: _zone_stats_one(f, max_tokens) for f in files}
 
     def _stats(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        import numpy as np
 
         schema = pa.schema(
             [
@@ -255,41 +301,14 @@ def compute_frontier_zones(
                 "min_seq": [], "n_hosts": [], "depth_hist": [], "sel_hist": [],
             }
             for f in rb.column("file").to_pylist():
-                t = pq.read_table(f, columns=ZONE_COLS)
-                q = t.filter(pc.equal(t.column("state"), "queued"))
-                if q.num_rows == 0:
-                    d, s, nh, hist, sel = 0, 0, 0, {}, {}
-                else:
-                    q = q.combine_chunks()
-                    depth = q.column("depth").to_numpy()
-                    seq = q.column("disc_seq").to_numpy()
-                    d = int(depth.min())
-                    s = int(seq[depth == d].min())
-                    hcodes = (
-                        q.column("host").chunk(0).dictionary_encode().indices.to_numpy()
-                    )
-                    nh = int(hcodes.max()) + 1 if len(hcodes) else 0
-                    vals, cnts = np.unique(depth, return_counts=True)
-                    hist = {int(v): int(c) for v, c in zip(vals, cnts)}
-                    # capped supply: first max_tokens rows per host in depth
-                    # order, histogrammed by depth
-                    order = np.lexsort((depth, hcodes))
-                    hs_, ds_ = hcodes[order], depth[order]
-                    idx = np.arange(len(order))
-                    new_host = np.ones(len(order), dtype=bool)
-                    if len(order) > 1:
-                        new_host[1:] = hs_[1:] != hs_[:-1]
-                    start = np.maximum.accumulate(np.where(new_host, idx, 0))
-                    keep = (idx - start) < max_tokens
-                    sv, sc = np.unique(ds_[keep], return_counts=True)
-                    sel = {int(v): int(c) for v, c in zip(sv, sc)}
+                z = _zone_stats_one(f, max_tokens)
                 out["file"].append(f)
-                out["n_queued"].append(q.num_rows)
-                out["min_depth"].append(d)
-                out["min_seq"].append(s)
-                out["n_hosts"].append(nh)
-                out["depth_hist"].append(json.dumps(hist))
-                out["sel_hist"].append(json.dumps(sel))
+                out["n_queued"].append(z["n_queued"])
+                out["min_depth"].append(z["min_depth"])
+                out["min_seq"].append(z["min_seq"])
+                out["n_hosts"].append(z["n_hosts"])
+                out["depth_hist"].append(json.dumps(z["depth_hist"]))
+                out["sel_hist"].append(json.dumps(z["sel_hist"]))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(v, type=schema.field(i).type) for i, v in enumerate(out.values())],
                 schema=schema,

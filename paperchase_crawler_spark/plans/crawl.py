@@ -448,8 +448,18 @@ class CrawlRunner:
     # -- one round --------------------------------------------------------------
 
     def run_round(self) -> dict[str, Any]:
+        import time as _time
+
         r = self.round + 1
         spark = self.spark
+        _t: dict[str, float] = {}
+        _t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            _t[phase] = round(_t[phase] + (now - _t0), 3) if phase in _t else round(now - _t0, 3)
+            _t0 = now
 
         # SELECT: zone-map pruned per-bucket Arrow merge + per-host top-k (no
         # shuffle; the frontier's bucket layout is the partitioning, and only
@@ -468,6 +478,8 @@ class CrawlRunner:
             "canon_url", "url_hash", "host", "depth", "disc_seq",
             "round_disc", "seq",
         )
+
+        _mark("select")
 
         # FETCH pass 1 (outlinks + has_image, no media bytes): the budget cut
         # leaves only the few range partitions holding the selected rows —
@@ -512,6 +524,8 @@ class CrawlRunner:
             self._commit_checkpoint()
             return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
 
+        _mark("fetch_meta")
+
         # ordering artifact
         self.ordering.append(
             fetched.select("seq", F.lit(r).alias("round"), "canon_url"),
@@ -530,6 +544,8 @@ class CrawlRunner:
             )
             self.corpus.append(images, meta={"round": r})
         self._corpus_rows += n_images
+
+        _mark("fetch_images")
 
         # EXPAND: outlinks → canonical candidates → dedup → seen filter → gate
         raw = fetched.select(
@@ -583,83 +599,122 @@ class CrawlRunner:
         n_new = sum(state_counts.values())
         n_blocked_enqueued = int(state_counts.get("blocked", 0))
 
-        # COMMIT
-        self.crawl_log.append(
-            spark.createDataFrame(metric_rows, metrics.schema),
-            meta={
-                "round": r,
-                "partitions": part_metrics,
-                "n_selected": n_selected,
-                "n_new": n_new,
-                "n_blocked_enqueued": n_blocked_enqueued,
-                "select_pruning": prune_info,
-                "seen_filter": seen_info,
-            },
-        )
-        if n_new:
+        _mark("expand_seen")
+
+        # COMMIT — the five table-commit chains touch DISJOINT tables and
+        # read only driver-local rows or checkpointed DataFrames (fetched,
+        # new_rows), so they run as CONCURRENT Spark actions (thread pool;
+        # Spark schedules concurrent jobs safely). Sequentially these were
+        # ~3 s of back-to-back small write jobs per round — pure fixed
+        # overhead at small scale, and at cluster scale the overlap hides
+        # each chain's commit latency behind the largest one. The atomic
+        # CHECKPOINT below is the only cross-table commit point and happens
+        # strictly after every chain completes.
+        def _commit_crawl_log() -> None:
+            self.crawl_log.append(
+                spark.createDataFrame(metric_rows, metrics.schema),
+                meta={
+                    "round": r,
+                    "partitions": part_metrics,
+                    "n_selected": n_selected,
+                    "n_new": n_new,
+                    "n_blocked_enqueued": n_blocked_enqueued,
+                    "select_pruning": prune_info,
+                    "seen_filter": seen_info,
+                },
+            )
+
+        def _commit_seen() -> None:
+            if not n_new:
+                return
             self.seen.append_bucketed_delta(
                 self._seen_layout(new_rows), meta={"round": r}
             )
             self._maybe_compact_seen(r)
-            if self.bloom is not None:
-                # incremental: append ONLY the round's new-key shards (the
-                # probe ORs a bucket's shard rows); compaction is GROUP-
-                # scoped — only shard groups that accumulated more than
-                # shards_per_bucket rows per bucket are read and rewritten;
-                # cold groups' files are untouched
-                self.bloom_shards.append_bucketed_delta(
-                    self.bloom.build(new_rows.select("url_hash")).withColumn(
-                        "__fb", self._bloom_group_col()
-                    ),
-                    meta={"round": r},
+
+        def _commit_bloom() -> None:
+            # incremental: append ONLY the round's new-key shards (the probe
+            # ORs a bucket's shard rows); compaction is GROUP-scoped — only
+            # shard groups that accumulated more than shards_per_bucket rows
+            # per bucket are read and rewritten; cold groups stay untouched
+            if not n_new or self.bloom is None:
+                return
+            self.bloom_shards.append_bucketed_delta(
+                self.bloom.build(new_rows.select("url_hash")).withColumn(
+                    "__fb", self._bloom_group_col()
+                ),
+                meta={"round": r},
+            )
+            self._maybe_compact_bloom(r)
+
+        def _commit_host_touch() -> None:
+            # host_state: the static dimension is never rewritten — append
+            # only the round-touched hosts' last_round rows (o(hosts) commit)
+            self.host_touch.append(
+                fetched.select("host")
+                .distinct()
+                .withColumn("last_round", F.lit(r).cast("int"))
+                .select(*[f.name for f in HOST_TOUCH.fields]),
+                meta={"round": r},
+            )
+            n_hosts = self.host_state.snapshot()["total_rows"]
+            if self.host_touch.snapshot()["total_rows"] > n_hosts:
+                # fold the touch log once it outgrows the dimension
+                self.host_touch.overwrite(
+                    self.host_touch.read(spark)
+                    .groupBy("host")
+                    .agg(F.max("last_round").alias("last_round")),
+                    meta={"round": r, "op": "compaction"},
                 )
-                self._maybe_compact_bloom(r)
-        # host_state: the static dimension is never rewritten — append only
-        # the round-touched hosts' last_round rows (o(hosts) commit)
-        self.host_touch.append(
-            fetched.select("host")
-            .distinct()
-            .withColumn("last_round", F.lit(r).cast("int"))
-            .select(*[f.name for f in HOST_TOUCH.fields]),
-            meta={"round": r},
-        )
-        n_hosts = self.host_state.snapshot()["total_rows"]
-        if self.host_touch.snapshot()["total_rows"] > n_hosts:
-            # fold the touch log once it outgrows the dimension (amortized)
-            self.host_touch.overwrite(
-                self.host_touch.read(spark)
-                .groupBy("host")
-                .agg(F.max("last_round").alias("last_round")),
-                meta={"round": r, "op": "compaction"},
+
+        def _commit_frontier() -> None:
+            # frontier delta: the fetched rows' state transitions (full
+            # replacement rows — fetched carries every frontier column
+            # through the pipeline) + the round's new discoveries.
+            # O(changed), never a full-table rewrite; MoR resolves by __rev.
+            updated = (
+                fetched.select(
+                    "canon_url", "url_hash", "host", "depth", "disc_seq",
+                    "round_disc",
+                )
+                .withColumn("priority", -F.col("depth").cast("double"))
+                .withColumn("state", F.lit("fetched"))
+                .withColumn("round_done", F.lit(r).cast("int"))
             )
-        # frontier delta: the fetched rows' state transitions (full
-        # replacement rows — fetched carries every frontier column through
-        # the pipeline) + the round's new discoveries. O(changed), never a
-        # full-table rewrite; merge-on-read resolves by __rev.
-        updated = (
-            fetched.select(
-                "canon_url", "url_hash", "host", "depth", "disc_seq", "round_disc"
+            self._frontier_append_delta(
+                updated.select(*FRONTIER_COLS).unionByName(
+                    new_rows.select(*FRONTIER_COLS)
+                ),
+                meta={"round": r, "partitions": part_metrics},
             )
-            .withColumn("priority", -F.col("depth").cast("double"))
-            .withColumn("state", F.lit("fetched"))
-            .withColumn("round_done", F.lit(r).cast("int"))
-        )
-        self._frontier_append_delta(
-            updated.select(*FRONTIER_COLS).unionByName(
-                new_rows.select(*FRONTIER_COLS)
-            ),
-            meta={"round": r, "partitions": part_metrics},
-        )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (
+                    _commit_crawl_log, _commit_seen, _commit_bloom,
+                    _commit_host_touch, _commit_frontier,
+                )
+            ]
+            for fut in futures:
+                fut.result()  # re-raise the first failure BEFORE checkpoint
         self.next_seq += n_selected
         self.next_disc_seq += n_new
         self._ordering_rows += n_selected
         self.round = r
+        _mark("commit")
+        # metadata-only commit BEFORE the checkpoint so resume covers it:
+        # per-round phase wall times land in the crawl_log snapshot history
+        self.crawl_log.commit_empty(meta={"round": r, "phase_sec": _t})
         self._commit_checkpoint()
         return {
             "round": r,
             "n_selected": n_selected,
             "n_new": n_new,
             "n_images": n_images,
+            "phase_sec": _t,
         }
 
     def _maybe_compact_bloom(self, r: int) -> None:

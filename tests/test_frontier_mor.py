@@ -385,6 +385,7 @@ def test_crawl_equivalence_with_pruning_engaged(spark, tmp_path):
     prune_infos = [
         runner.crawl_log.snapshot(s)["meta"].get("select_pruning")
         for s in runner.crawl_log.snapshot_ids()
+        if "select_pruning" in runner.crawl_log.snapshot(s)["meta"]
     ]
     engaged = [
         p for p in prune_infos if p and p.get("tau") and not p.get("fallback")
@@ -480,8 +481,9 @@ def test_seen_verify_reads_bucket_subset(spark, tmp_path):
     infos = [
         runner.crawl_log.snapshot(s)["meta"].get("seen_filter")
         for s in runner.crawl_log.snapshot_ids()
+        if "seen_filter" in runner.crawl_log.snapshot(s)["meta"]
     ]
-    assert all(i and "suspect_buckets" in i for i in infos), infos
+    assert infos and all(i and "suspect_buckets" in i for i in infos), infos
     # scope recorded and bounded: never more buckets than suspects require
     for i in infos:
         assert i["suspect_buckets"] <= i["total_buckets"]
