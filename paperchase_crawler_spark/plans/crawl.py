@@ -610,18 +610,19 @@ class CrawlRunner:
         # each chain's commit latency behind the largest one. The atomic
         # CHECKPOINT below is the only cross-table commit point and happens
         # strictly after every chain completes.
+        round_meta = {
+            "round": r,
+            "partitions": part_metrics,
+            "n_selected": n_selected,
+            "n_new": n_new,
+            "n_blocked_enqueued": n_blocked_enqueued,
+            "select_pruning": prune_info,
+            "seen_filter": seen_info,
+        }
+
         def _commit_crawl_log() -> None:
             self.crawl_log.append(
-                spark.createDataFrame(metric_rows, metrics.schema),
-                meta={
-                    "round": r,
-                    "partitions": part_metrics,
-                    "n_selected": n_selected,
-                    "n_new": n_new,
-                    "n_blocked_enqueued": n_blocked_enqueued,
-                    "select_pruning": prune_info,
-                    "seen_filter": seen_info,
-                },
+                spark.createDataFrame(metric_rows, metrics.schema), meta=round_meta
             )
 
         def _commit_seen() -> None:
@@ -706,8 +707,10 @@ class CrawlRunner:
         self.round = r
         _mark("commit")
         # metadata-only commit BEFORE the checkpoint so resume covers it:
-        # per-round phase wall times land in the crawl_log snapshot history
-        self.crawl_log.commit_empty(meta={"round": r, "phase_sec": _t})
+        # per-round phase wall times join the round's counts in the CURRENT
+        # crawl_log snapshot meta (a superset, so consumers of the latest
+        # snapshot still see n_selected/n_new/pruning/seen scope)
+        self.crawl_log.commit_empty(meta={**round_meta, "phase_sec": _t})
         self._commit_checkpoint()
         return {
             "round": r,
