@@ -1,0 +1,169 @@
+"""Streaming URL ingestion → frontier (continuous discovery feeds).
+
+The crawl loop is batch-BSP by design (round-ordering contract — SURVEY §3.3),
+but URL DISCOVERY need not be: sitemap diffs, link logs, or upstream-crawler
+feeds arrive continuously. This module lands such a stream into the SAME
+bucketed merge-on-read frontier the BSP loop selects from, using Structured
+Streaming's ``foreachBatch`` custom-sink pattern:
+
+  readStream(source) → foreachBatch(ingest_batch) → trigger(availableNow)
+
+``ingest_batch`` is a plain batch plan per micro-batch: canonicalize
+(vectorized pandas UDF) → xxhash64 → batch-internal first-occurrence dedup →
+not-yet-seen filter (exact anti-join, or the bucket-pruned Bloom path when a
+filter is maintained) → deterministic disc_seq assignment → bucketed delta
+append with zone maps. EXACTLY-ONCE: every table commit records the epoch id
+in its snapshot meta and a replayed epoch (foreachBatch redelivers after
+crashes) is skipped per table — so frontier and seen each apply an epoch at
+most once, in any crash/replay interleaving.
+
+disc_seq: the stream source must carry a unique ``src_seq long`` (arrival
+order); each epoch's new URLs get contiguous disc_seq from the frontier
+snapshot's persisted ``next_disc_seq`` high-water mark, ranked by src_seq —
+deterministic and replay-stable, and compatible with the BSP loop's R3/R4
+ordering (ingested URLs enqueue exactly like expanded outlinks).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.spark_udfs import canonicalize_udf
+from ..operators.frontier_select import compute_frontier_zones, frontier_bucket_col
+from ..operators.ordering import with_global_rank
+from ..operators.seen import anti_join_seen
+from ..sources.icetable import IceTable
+
+FRONTIER_COLS = [
+    "canon_url", "url_hash", "host", "depth", "disc_seq",
+    "priority", "state", "round_disc", "round_done",
+]
+
+
+def _epoch_already_applied(tbl: IceTable, epoch_id: int) -> bool:
+    snap = tbl.snapshot()
+    if snap is None:
+        return False
+    applied = snap["meta"].get("ingest_epochs", [])
+    return epoch_id in applied
+
+
+def _epoch_meta(tbl: IceTable, epoch_id: int, extra: dict | None = None) -> dict:
+    snap = tbl.snapshot()
+    applied = list(snap["meta"].get("ingest_epochs", [])) if snap else []
+    meta = dict(extra or {})
+    # keep a bounded tail of applied epochs — foreachBatch only ever replays
+    # recent ones (the stream checkpoint bounds the replay window)
+    meta["ingest_epochs"] = (applied + [epoch_id])[-64:]
+    return meta
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    frontier: IceTable,
+    seen: IceTable,
+    epoch_id: int,
+    n_buckets: int,
+    salts: int = 1,
+    seen_buckets: int = 64,
+    max_tokens: int = 8,
+    depth: int = 0,
+) -> dict[str, Any]:
+    """Land one micro-batch of (raw_url, src_seq) rows into the frontier.
+    Idempotent per (table, epoch): replays are skipped. Returns counters."""
+    if _epoch_already_applied(frontier, epoch_id) and _epoch_already_applied(
+        seen, epoch_id
+    ):
+        return {"epoch": epoch_id, "n_new": 0, "replayed": True}
+
+    canon = (
+        batch_df.select("raw_url", "src_seq")
+        .withColumn("canon_url", canonicalize_udf("raw_url"))
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+    )
+    # batch-internal first occurrence wins (R2/R4, same rule as seeds)
+    dedup = (
+        canon.groupBy("url_hash")
+        .agg(F.min(F.struct("src_seq", "canon_url")).alias("s"))
+        .select("url_hash", "s.src_seq", "s.canon_url")
+    )
+    new = anti_join_seen(dedup, seen.read(spark))
+    next_seq = (frontier.snapshot() or {"meta": {}})["meta"].get(
+        "next_disc_seq", 0
+    )
+    ranked = with_global_rank(new, ["src_seq"], "disc_seq", start=next_seq)
+    rows = (
+        ranked.withColumn("host", F.lower(F.parse_url("canon_url", F.lit("HOST"))))
+        .withColumn("depth", F.lit(depth).cast("int"))
+        .withColumn("priority", -F.col("depth").cast("double"))
+        .withColumn("state", F.lit("queued"))
+        .withColumn("round_disc", F.lit(-1))  # discovered out-of-band
+        .withColumn("round_done", F.lit(None).cast("int"))
+        .select(*FRONTIER_COLS)
+        .localCheckpoint()
+    )
+    n_new = rows.count()
+
+    if not _epoch_already_applied(frontier, epoch_id):
+        staged = (
+            rows.withColumn("__rev", F.lit(frontier._next_sid()).cast("int"))
+            .withColumn("__fb", frontier_bucket_col(n_buckets, salts))
+            .repartition(n_buckets * salts, F.col("__fb"))
+            .sortWithinPartitions("depth", "disc_seq")
+        )
+        frontier.append_bucketed_delta(
+            staged,
+            meta=_epoch_meta(
+                frontier, epoch_id, {"next_disc_seq": next_seq + n_new}
+            ),
+            zone_fn=lambda files: compute_frontier_zones(spark, files, max_tokens),
+        )
+    if not _epoch_already_applied(seen, epoch_id) and n_new:
+        seen.append_bucketed_delta(
+            rows.select("url_hash")
+            .withColumn(
+                "__fb", F.pmod(F.col("url_hash"), F.lit(seen_buckets)).cast("int")
+            )
+            .repartition(seen_buckets, F.col("__fb")),
+            meta=_epoch_meta(seen, epoch_id),
+        )
+    return {"epoch": epoch_id, "n_new": n_new, "replayed": False}
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    frontier: IceTable,
+    seen: IceTable,
+    checkpoint_dir: str,
+    n_buckets: int,
+    salts: int = 1,
+    seen_buckets: int = 64,
+    max_tokens: int = 8,
+) -> list[dict[str, Any]]:
+    """Drain a streaming (raw_url, src_seq) source into the frontier with
+    availableNow (process-everything-then-stop — the testable trigger; swap
+    for processingTime in a live deployment). Returns per-epoch counters."""
+    results: list[dict[str, Any]] = []
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        results.append(
+            ingest_batch(
+                spark, batch_df, frontier, seen, epoch_id,
+                n_buckets=n_buckets, salts=salts,
+                seen_buckets=seen_buckets, max_tokens=max_tokens,
+            )
+        )
+
+    q = (
+        source.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results

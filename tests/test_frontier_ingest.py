@@ -1,0 +1,152 @@
+"""Streaming URL ingestion → frontier: exactly-once foreachBatch sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from paperchase_crawler_spark.operators.frontier_select import (
+    compute_frontier_zones,
+    frontier_bucket_col,
+    merged_frontier,
+    select_frontier_round,
+)
+from paperchase_crawler_spark.schemas import FRONTIER
+from paperchase_crawler_spark.sources.icetable import IceTable
+from paperchase_crawler_spark.streaming.frontier_ingest import (
+    ingest_batch,
+    run_ingest_stream,
+)
+
+NB, SB = 4, 8
+
+
+def _init_tables(spark, base):
+    """Frontier with 2 seed rows (disc_seq 0,1) + matching seen set."""
+    frontier = IceTable(os.path.join(base, "frontier"))
+    seen = IceTable(os.path.join(base, "seen"))
+    seeds = ["https://h0.example/", "https://h1.example/"]
+    rows = [
+        (u, 0, f"h{i}.example", 0, i, 0.0, "queued", 0, None)
+        for i, u in enumerate(seeds)
+    ]
+    df = spark.createDataFrame(rows, FRONTIER).withColumn(
+        "url_hash", F.xxhash64("canon_url")
+    ).select(*[f.name for f in FRONTIER.fields])
+    staged = (
+        df.withColumn("__rev", F.lit(0).cast("int"))
+        .withColumn("__fb", frontier_bucket_col(NB, 1))
+        .repartition(NB, F.col("__fb"))
+    )
+    frontier.overwrite_bucketed(
+        staged, n_buckets=NB,
+        meta={"next_disc_seq": 2},
+        zone_fn=lambda files: compute_frontier_zones(spark, files),
+    )
+    seen.overwrite_bucketed(
+        df.select("url_hash")
+        .withColumn("__fb", F.pmod(F.col("url_hash"), F.lit(SB)).cast("int"))
+        .repartition(SB, F.col("__fb")),
+        n_buckets=SB,
+    )
+    return frontier, seen
+
+
+def test_stream_ingest_end_to_end(spark, tmp_path):
+    frontier, seen = _init_tables(spark, str(tmp_path))
+    src_dir = str(tmp_path / "src")
+    # file 1: a new URL, a duplicate-of-seed (must drop), an in-batch dup
+    spark.createDataFrame(
+        [
+            ("https://h2.example/a", 100),
+            ("https://h0.example/", 101),          # already seen
+            ("https://h2.example/a#f", 102),       # canonicalizes to /a → dup
+            ("https://h3.example/b", 103),
+        ],
+        "raw_url string, src_seq long",
+    ).coalesce(1).write.parquet(src_dir + "/f1")
+    spark.createDataFrame(
+        [
+            ("https://h2.example/a", 200),          # seen via file 1's epoch
+            ("https://h4.example/c", 201),
+        ],
+        "raw_url string, src_seq long",
+    ).coalesce(1).write.parquet(src_dir + "/f2")
+    source = (
+        spark.readStream.schema("raw_url string, src_seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/f*")
+    )
+    results = run_ingest_stream(
+        spark, source, frontier, seen, str(tmp_path / "ckpt"),
+        n_buckets=NB, seen_buckets=SB,
+    )
+    assert sum(r["n_new"] for r in results) == 3  # /a, /b, /c
+    merged = merged_frontier(spark, frontier)
+    got = {
+        r["canon_url"]: r["disc_seq"]
+        for r in merged.filter(F.col("round_disc") == -1).collect()
+    }
+    assert set(got) == {
+        "https://h2.example/a", "https://h3.example/b", "https://h4.example/c",
+    }
+    # contiguous disc_seq continuing after the seeds' high-water mark
+    assert sorted(got.values()) == [2, 3, 4]
+    assert frontier.snapshot()["meta"]["next_disc_seq"] == 5
+    # seen covers everything now; re-ingesting the same URLs adds nothing
+    res2 = ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [("https://h3.example/b", 300)], "raw_url string, src_seq long"
+        ),
+        frontier, seen, epoch_id=99, n_buckets=NB, seen_buckets=SB,
+    )
+    assert res2["n_new"] == 0
+    # and the BSP SELECT immediately sees the ingested URLs
+    hs = spark.createDataFrame(
+        [(f"h{i}.example", 0, 4, -1000000) for i in range(5)],
+        "host string, crawl_delay_rounds int, tokens_per_round int, last_round int",
+    )
+    ranked, _ = select_frontier_round(
+        spark, frontier, hs, round_no=1, budget=10, max_tokens=8, salts=1
+    )
+    assert {r["canon_url"] for r in ranked.collect()} >= set(got)
+
+
+def test_ingest_epoch_replay_is_idempotent(spark, tmp_path):
+    frontier, seen = _init_tables(spark, str(tmp_path))
+    batch = spark.createDataFrame(
+        [("https://h9.example/x", 1)], "raw_url string, src_seq long"
+    )
+    r1 = ingest_batch(spark, batch, frontier, seen, 7, n_buckets=NB, seen_buckets=SB)
+    f_snap, s_snap = frontier.current_snapshot_id(), seen.current_snapshot_id()
+    r2 = ingest_batch(spark, batch, frontier, seen, 7, n_buckets=NB, seen_buckets=SB)
+    assert r1["n_new"] == 1 and r2["replayed"] is True
+    assert frontier.current_snapshot_id() == f_snap  # no second commit
+    assert seen.current_snapshot_id() == s_snap
+    assert merged_frontier(spark, frontier).count() == 3
+
+
+def test_ingest_crash_between_commits_recovers(spark, tmp_path):
+    """Simulated crash AFTER the frontier commit but BEFORE the seen commit:
+    the replayed epoch must skip the frontier and complete only the seen
+    append — no duplicate frontier rows, seen catches up."""
+    frontier, seen = _init_tables(spark, str(tmp_path))
+    batch = spark.createDataFrame(
+        [("https://h9.example/x", 1)], "raw_url string, src_seq long"
+    )
+    # run the full epoch once, then surgically roll the SEEN table back to
+    # pre-epoch state — byte-identical to a crash between the two commits
+    ingest_batch(spark, batch, frontier, seen, 7, n_buckets=NB, seen_buckets=SB)
+    seen.rollback(seen.snapshot_ids()[0])
+    f_snap = frontier.current_snapshot_id()
+    r = ingest_batch(spark, batch, frontier, seen, 7, n_buckets=NB, seen_buckets=SB)
+    assert r["replayed"] is False and r["n_new"] == 1
+    assert frontier.current_snapshot_id() == f_snap  # frontier NOT re-applied
+    assert merged_frontier(spark, frontier).count() == 3  # no dup rows
+    # seen now contains the ingested key exactly once
+    k = seen.read(spark).filter(
+        F.col("url_hash") == F.xxhash64(F.lit("https://h9.example/x"))
+    )
+    assert k.count() == 1
