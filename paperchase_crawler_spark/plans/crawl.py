@@ -216,9 +216,25 @@ class CrawlRunner:
             # tbl is None when the table had never been committed at checkpoint
             # time — a crash during its FIRST-ever commit leaves a live
             # snapshot that must roll back to empty, or the replayed round
-            # would append duplicate rows
-            if it.current_snapshot_id() != tbl:
-                it.rollback(tbl)
+            # would append duplicate rows.
+            #
+            # Out-of-band STREAMING INGEST commits (streaming/frontier_ingest)
+            # are legitimate post-checkpoint history, not crash garbage: they
+            # carry "ingest_epochs" in their snapshot meta and are atomic +
+            # idempotent per table. Adopt the contiguous parent-chain of
+            # ingest-tagged snapshots after the checkpoint; roll back only
+            # from the first untagged (crashed-round) commit onward.
+            target = tbl
+            for sid in it.snapshot_ids():
+                if tbl is not None and sid <= tbl:
+                    continue
+                snap = it.snapshot(sid)
+                if "ingest_epochs" in snap["meta"] and snap["parent"] == target:
+                    target = sid
+                else:
+                    break
+            if it.current_snapshot_id() != target:
+                it.rollback(target)
         return r
 
     # -- frontier MoR commits ---------------------------------------------------
@@ -236,6 +252,15 @@ class CrawlRunner:
             # zone-pruned SELECT skip cold row groups via parquet pushdown
             .sortWithinPartitions("depth", "disc_seq")
         )
+
+    def _frontier_disc_hwm(self) -> int:
+        """disc_seq high-water mark from frontier snapshot metadata — the
+        composition point with streaming ingestion (frontier_ingest bumps it
+        out-of-band between rounds; shared lookup so both sides see the same
+        counter even when compaction commits interleave)."""
+        from ..streaming.frontier_ingest import frontier_disc_hwm
+
+        return frontier_disc_hwm(self.frontier)
 
     def _frontier_overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         self.frontier.overwrite_bucketed(
@@ -399,7 +424,9 @@ class CrawlRunner:
         rows = self._new_frontier_rows(
             ranked.withColumn("depth", F.lit(0)), round_disc=0
         )
-        self._frontier_overwrite(rows, meta={"round": 0})
+        self._frontier_overwrite(
+            rows, meta={"round": 0, "next_disc_seq": n_seeds}
+        )
         self.seen.overwrite_bucketed(
             self._seen_layout(rows), n_buckets=self.seen_buckets, meta={"round": 0}
         )
@@ -452,6 +479,9 @@ class CrawlRunner:
 
         r = self.round + 1
         spark = self.spark
+        # compose with out-of-band streaming ingestion: URLs may have been
+        # ingested between rounds with disc_seqs past our checkpoint counter
+        self.next_disc_seq = max(self.next_disc_seq, self._frontier_disc_hwm())
         _t: dict[str, float] = {}
         _t0 = _time.time()
 
@@ -686,7 +716,11 @@ class CrawlRunner:
                 updated.select(*FRONTIER_COLS).unionByName(
                     new_rows.select(*FRONTIER_COLS)
                 ),
-                meta={"round": r, "partitions": part_metrics},
+                meta={
+                    "round": r,
+                    "partitions": part_metrics,
+                    "next_disc_seq": self.next_disc_seq + n_new,
+                },
             )
 
         from concurrent.futures import ThreadPoolExecutor

@@ -43,6 +43,17 @@ FRONTIER_COLS = [
 ]
 
 
+def frontier_disc_hwm(tbl: IceTable) -> int:
+    """disc_seq high-water mark: newest snapshot whose meta carries
+    ``next_disc_seq`` (compaction/maintenance commits don't) — shared
+    contract with CrawlRunner._frontier_disc_hwm."""
+    for sid in reversed(tbl.snapshot_ids()):
+        meta = tbl.snapshot(sid)["meta"]
+        if "next_disc_seq" in meta:
+            return int(meta["next_disc_seq"])
+    return 0
+
+
 def _epoch_already_applied(tbl: IceTable, epoch_id: int) -> bool:
     snap = tbl.snapshot()
     if snap is None:
@@ -92,9 +103,7 @@ def ingest_batch(
         .select("url_hash", "s.src_seq", "s.canon_url")
     )
     new = anti_join_seen(dedup, seen.read(spark))
-    next_seq = (frontier.snapshot() or {"meta": {}})["meta"].get(
-        "next_disc_seq", 0
-    )
+    next_seq = frontier_disc_hwm(frontier)
     ranked = with_global_rank(new, ["src_seq"], "disc_seq", start=next_seq)
     rows = (
         ranked.withColumn("host", F.lower(F.parse_url("canon_url", F.lit("HOST"))))

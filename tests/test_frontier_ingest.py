@@ -150,3 +150,45 @@ def test_ingest_crash_between_commits_recovers(spark, tmp_path):
         F.col("url_hash") == F.xxhash64(F.lit("https://h9.example/x"))
     )
     assert k.count() == 1
+
+
+def test_ingest_composes_with_live_crawl(spark, tmp_path):
+    """Ingest between BSP rounds of a REAL CrawlRunner: disc_seq stays
+    globally unique (the runner resumes past the ingest high-water mark),
+    the ingested URL is selectable in the next round, and every engine
+    invariant (seen ⊇ frontier keys, unique seq ordering) holds."""
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+
+    wd = str(tmp_path / "live")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    # out-of-band discovery feed lands between rounds (host0 exists in the
+    # simweb universe so it is fetchable)
+    r = ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [("https://host0.example/ingested-page", 1)],
+            "raw_url string, src_seq long",
+        ),
+        runner.frontier, runner.seen, epoch_id=1,
+        n_buckets=runner.frontier_buckets, salts=runner.frontier_salts,
+        seen_buckets=runner.seen_buckets,
+    )
+    assert r["n_new"] == 1
+    resumed = CrawlRunner.resume(spark, wd)
+    resumed.run(1)
+    fr = merged_frontier(spark, resumed.frontier).collect()
+    # disc_seq globally unique across seed/expand/ingest provenance
+    seqs = [row["disc_seq"] for row in fr]
+    assert len(seqs) == len(set(seqs))
+    urls = {row["canon_url"]: row for row in fr}
+    assert "https://host0.example/ingested-page" in urls
+    # the runner's own discoveries continued PAST the ingested high-water
+    assert resumed.next_disc_seq > max(seqs) - 1 or resumed.next_disc_seq == max(seqs) + 1
+    # seen covers every frontier key exactly
+    seen_keys = {row["url_hash"] for row in resumed.seen_df().collect()}
+    assert {row["url_hash"] for row in fr} <= seen_keys
