@@ -291,8 +291,17 @@ class CrawlRunner:
                 next_rev=self.frontier._next_sid(),
                 buckets=hot,
             )
+            # carry the disc_seq high-water mark through maintenance commits:
+            # snapshot retention may expire the delta that introduced it, and
+            # a later out-of-band ingest must still find the counter
+            carry = (
+                {"next_disc_seq": meta["next_disc_seq"]}
+                if meta and "next_disc_seq" in meta
+                else {}
+            )
             self.frontier.overwrite_buckets_partial(
-                merged, hot, meta={"op": "compaction"}, zone_fn=self._zone_fn
+                merged, hot, meta={"op": "compaction", **carry},
+                zone_fn=self._zone_fn,
             )
             self._maybe_split_buckets()
 
@@ -322,9 +331,13 @@ class CrawlRunner:
             # `salts` buckets) — frontier_salts is the knob for that; forcing
             # a doubling here would re-double on every compaction forever
             return
+        hwm = self._frontier_disc_hwm()
         merged = merged_frontier(self.spark, self.frontier).select(*FRONTIER_COLS)
         self.frontier_buckets = nb
-        self._frontier_overwrite(merged, meta={"op": "rebucket", "n_buckets": nb})
+        self._frontier_overwrite(
+            merged,
+            meta={"op": "rebucket", "n_buckets": nb, "next_disc_seq": hwm},
+        )
 
     # -- init ------------------------------------------------------------------
 

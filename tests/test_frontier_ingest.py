@@ -192,3 +192,35 @@ def test_ingest_composes_with_live_crawl(spark, tmp_path):
     # seen covers every frontier key exactly
     seen_keys = {row["url_hash"] for row in resumed.seen_df().collect()}
     assert {row["url_hash"] for row in fr} <= seen_keys
+
+
+def test_ingest_after_aggressive_retention(spark, tmp_path):
+    """Eager compaction + keep_last=1 retention can expire the delta that
+    introduced the disc_seq counter; compaction commits must carry it
+    forward so a later ingest never reuses live disc_seqs."""
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+
+    wd = str(tmp_path / "ret")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4,
+        compact_delta_frac=0.0,  # compaction is the CURRENT snapshot each round
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(2)
+    runner.maintain(keep_last=1)  # expire everything but the compaction
+    r = ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [("https://host0.example/late-feed", 1)],
+            "raw_url string, src_seq long",
+        ),
+        runner.frontier, runner.seen, epoch_id=5,
+        n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+    )
+    assert r["n_new"] == 1
+    fr = merged_frontier(spark, runner.frontier).collect()
+    seqs = [row["disc_seq"] for row in fr]
+    assert len(seqs) == len(set(seqs))  # the ingested seq did not collide
+    ingested = [row for row in fr if row["canon_url"].endswith("late-feed")]
+    assert ingested[0]["disc_seq"] == max(seqs)
