@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.spark_udfs import canonicalize_udf
 from ..operators.frontier_select import compute_frontier_zones, frontier_bucket_col
 from ..operators.ordering import with_global_rank
+from ..operators.robots import blocked_expr, path_col
 from ..operators.seen import anti_join_seen
 from ..sources.icetable import IceTable
 
@@ -83,9 +84,16 @@ def ingest_batch(
     seen_buckets: int = 64,
     max_tokens: int = 8,
     depth: int = 0,
+    robots_rules_df: DataFrame | None = None,
 ) -> dict[str, Any]:
     """Land one micro-batch of (raw_url, src_seq) rows into the frontier.
-    Idempotent per (table, epoch): replays are skipped. Returns counters."""
+    Idempotent per (table, epoch): replays are skipped. Returns counters.
+
+    ``robots_rules_df`` ((host, robots_rules) — e.g. the runner's static
+    host_state): when given, ingested URLs pass the SAME R6 enqueue-time
+    robots gate the BSP loop applies, landing as state='blocked' instead of
+    'queued' — the SELECT stage assumes every queued row already passed
+    robots, so feeds into a live crawl MUST provide it."""
     if _epoch_already_applied(frontier, epoch_id) and _epoch_already_applied(
         seen, epoch_id
     ):
@@ -105,13 +113,30 @@ def ingest_batch(
     new = anti_join_seen(dedup, seen.read(spark))
     next_seq = frontier_disc_hwm(frontier)
     ranked = with_global_rank(new, ["src_seq"], "disc_seq", start=next_seq)
+    hosts = ranked.withColumn(
+        "host", F.lower(F.parse_url("canon_url", F.lit("HOST")))
+    )
+    if robots_rules_df is not None:
+        gated = hosts.withColumn("__path", path_col(F.col("canon_url"))).join(
+            F.broadcast(robots_rules_df.select("host", "robots_rules")),
+            on="host",
+            how="left",
+        )
+        blocked = blocked_expr("__path", "robots_rules")
+    else:
+        gated = hosts
+        blocked = F.lit(False)
     rows = (
-        ranked.withColumn("host", F.lower(F.parse_url("canon_url", F.lit("HOST"))))
-        .withColumn("depth", F.lit(depth).cast("int"))
+        gated.withColumn("depth", F.lit(depth).cast("int"))
         .withColumn("priority", -F.col("depth").cast("double"))
-        .withColumn("state", F.lit("queued"))
+        .withColumn(
+            "state", F.when(blocked, F.lit("blocked")).otherwise(F.lit("queued"))
+        )
         .withColumn("round_disc", F.lit(-1))  # discovered out-of-band
-        .withColumn("round_done", F.lit(None).cast("int"))
+        .withColumn(
+            "round_done",
+            F.when(blocked, F.lit(-1)).otherwise(F.lit(None)).cast("int"),
+        )
         .select(*FRONTIER_COLS)
         .localCheckpoint()
     )
@@ -153,6 +178,7 @@ def run_ingest_stream(
     salts: int = 1,
     seen_buckets: int = 64,
     max_tokens: int = 8,
+    robots_rules_df: DataFrame | None = None,
 ) -> list[dict[str, Any]]:
     """Drain a streaming (raw_url, src_seq) source into the frontier with
     availableNow (process-everything-then-stop — the testable trigger; swap
@@ -165,6 +191,7 @@ def run_ingest_stream(
                 spark, batch_df, frontier, seen, epoch_id,
                 n_buckets=n_buckets, salts=salts,
                 seen_buckets=seen_buckets, max_tokens=max_tokens,
+                robots_rules_df=robots_rules_df,
             )
         )
 

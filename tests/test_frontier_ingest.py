@@ -167,18 +167,29 @@ def test_ingest_composes_with_live_crawl(spark, tmp_path):
     runner.init_from_seeds(simweb.seed_urls(8))
     runner.run(1)
     # out-of-band discovery feed lands between rounds (host0 exists in the
-    # simweb universe so it is fetchable)
+    # simweb universe so it is fetchable); it passes the SAME robots gate as
+    # in-loop discoveries — include a robots-blocked URL to prove it
+    blocked_url = None
+    for h in simweb.host_state_rows(last_round=0):
+        for rule in h["robots_rules"]:
+            if not rule["allow"]:
+                blocked_url = f"https://{h['host']}{rule['prefix']}x"
+                break
+        if blocked_url:
+            break
+    assert blocked_url is not None
+    rules = runner.host_state.read(spark).select("host", "robots_rules")
     r = ingest_batch(
         spark,
         spark.createDataFrame(
-            [("https://host0.example/ingested-page", 1)],
+            [("https://host0.example/ingested-page", 1), (blocked_url, 2)],
             "raw_url string, src_seq long",
         ),
         runner.frontier, runner.seen, epoch_id=1,
         n_buckets=runner.frontier_buckets, salts=runner.frontier_salts,
-        seen_buckets=runner.seen_buckets,
+        seen_buckets=runner.seen_buckets, robots_rules_df=rules,
     )
-    assert r["n_new"] == 1
+    assert r["n_new"] == 2
     resumed = CrawlRunner.resume(spark, wd)
     resumed.run(1)
     fr = merged_frontier(spark, resumed.frontier).collect()
@@ -187,6 +198,17 @@ def test_ingest_composes_with_live_crawl(spark, tmp_path):
     assert len(seqs) == len(set(seqs))
     urls = {row["canon_url"]: row for row in fr}
     assert "https://host0.example/ingested-page" in urls
+    assert urls["https://host0.example/ingested-page"]["state"] in (
+        "queued", "fetched",
+    )
+    # the robots-disallowed ingest landed blocked and was never fetched
+    from paperchase_crawler_spark.functions.urlnorm import canon_url
+
+    assert urls[canon_url(blocked_url)]["state"] == "blocked"
+    fetched_urls = {
+        row["canon_url"] for row in resumed.ordering_df().collect()
+    }
+    assert canon_url(blocked_url) not in fetched_urls
     # the runner's own discoveries continued PAST the ingested high-water
     assert resumed.next_disc_seq > max(seqs) - 1 or resumed.next_disc_seq == max(seqs) + 1
     # seen covers every frontier key exactly
