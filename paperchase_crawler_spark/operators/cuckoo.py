@@ -72,6 +72,19 @@ class _Table:
             slots if slots is not None else np.zeros((m_slots, ways), dtype=np.uint16)
         )
 
+    def widen(self, new_ways: int) -> None:
+        """Grow associativity in place (zero-padded new ways). Pair-exact:
+        every stored (index, fp) keeps its index, so membership answers are
+        unchanged — this is the one growth axis a partial-key filter can take
+        WITHOUT the original keys (growing m_slots would need i1 mod the new
+        size, which a stored index mod the old size cannot recover)."""
+        if new_ways <= self.ways:
+            return
+        wider = np.zeros((self.m, new_ways), dtype=np.uint16)
+        wider[:, : self.ways] = self.slots
+        self.slots = wider
+        self.ways = new_ways
+
     def _bulk_place(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
         """Vectorized placement sweep: for each way, the first pending item
         per index lands in that way if the slot is empty. Returns the mask of
@@ -97,17 +110,22 @@ class _Table:
 
     def insert_pairs(
         self, idx: np.ndarray, fp: np.ndarray, max_kicks: int = 500
-    ) -> int:
-        """Insert (index, fp) pairs; returns the number that could not be
-        placed even after eviction (0 at sane loads — callers raise).
-        Bulk-vectorized placement first; only collision leftovers walk the
-        per-item eviction loop."""
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Insert (index, fp) pairs; returns the pairs that could not be
+        placed even after eviction (empty at sane loads — callers either
+        raise or widen and re-insert them). A failed eviction walk returns
+        the IN-HAND displaced pair, not the original item — every swap along
+        the walk stayed in the table, so (placed ∪ returned) is exactly the
+        input multiset and nothing is silently dropped. Bulk-vectorized
+        placement first; only collision leftovers walk the per-item loop."""
+        empty_pair = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint16))
         pending = self._bulk_place(idx, fp)
         if not pending.any():
-            return 0
+            return empty_pair
         idx, fp = idx[pending], fp[pending]
         rng = np.random.default_rng(42)  # deterministic eviction walk
-        failed = 0
+        left_idx: list[int] = []
+        left_fp: list[int] = []
         for i, f in zip(idx.tolist(), fp.tolist()):
             f = np.uint16(f)
             placed = False
@@ -141,8 +159,14 @@ class _Table:
                     placed = True
                     break
             if not placed:
-                failed += 1
-        return failed
+                left_idx.append(cur)
+                left_fp.append(int(f_cur))
+        if not left_idx:
+            return empty_pair
+        return (
+            np.asarray(left_idx, dtype=np.int64),
+            np.asarray(left_fp, dtype=np.uint16),
+        )
 
     def contains(self, idx1: np.ndarray, fp: np.ndarray) -> np.ndarray:
         """Vectorized membership for (i1, fp) pairs."""
@@ -166,19 +190,67 @@ class _Table:
         return removed
 
 
+def _insert_with_growth(
+    t: _Table, idx: np.ndarray, fp: np.ndarray, max_ways: int, what: str
+) -> _Table:
+    """Insert pairs, doubling associativity on saturation up to ``max_ways``.
+
+    Associativity (ways) is the ONE growth axis a partial-key cuckoo filter
+    can take without the original keys: widening keeps every stored (index,
+    fp) pair at its index, so membership answers are exactly preserved.
+    Growing m_slots instead would need each pair's i1 mod the NEW size, and a
+    stored index mod the old size cannot recover that bit — a full rebuild
+    from the exact seen table (which this engine always keeps — operators/
+    seen.py downstream anti-join) is the operational path for slot growth.
+    Cost of widening: slot-level FPR ≈ 2·ways/2^16 doubles per step, which is
+    why ``max_ways`` caps it (ways=64 ⇒ FPR ≈ 2e-3, still a >500× duplicate-
+    traffic reducer); past the cap the filter fails loudly as before."""
+    while True:
+        idx, fp = t.insert_pairs(idx, fp)
+        if not len(idx):
+            return t
+        if t.ways * 2 > max_ways:
+            raise ValueError(
+                f"cuckoo {what} over capacity at max_ways={max_ways}: "
+                f"{len(idx)} pairs unplaced — raise m_slots (full rebuild) "
+                "or max_ways"
+            )
+        t.widen(t.ways * 2)
+
+
 class CuckooSeen:
     """Parameters for one bucketed cuckoo filter (build/probe/delete/merge).
 
     Same call shapes as operators.seen.BloomSeen, so ``filter_new`` accepts
-    either backend. Sizing: a shard holds m_slots × ways fingerprints; keep
-    expected keys/bucket ≲ 0.95 · m_slots · ways or build raises (a cuckoo
-    filter fails loudly at saturation instead of degrading silently)."""
+    either backend. Sizing: a shard holds m_slots × ways fingerprints; a
+    bucket whose DISTINCT keys exceed ~0.95 · m_slots · ways auto-resizes by
+    doubling ways (see _insert_with_growth — exact, key-free) up to
+    ``max_ways``, past which build/merge raise (fail-loud beats silent
+    degradation). Probe/merge/delete accept shards of ANY ways mix: a
+    shard's ways is derived from its blob length, so resized and original
+    shards coexist in one table."""
 
-    def __init__(self, n_buckets: int = 256, m_slots: int = 1 << 12, ways: int = 4):
+    def __init__(
+        self,
+        n_buckets: int = 256,
+        m_slots: int = 1 << 12,
+        ways: int = 4,
+        max_ways: int = 64,
+    ):
         assert m_slots & (m_slots - 1) == 0, "m_slots must be a power of two"
         self.n_buckets = n_buckets
         self.m_slots = m_slots
         self.ways = ways
+        self.max_ways = max(max_ways, ways)
+
+    def _from_blob(self, blob: bytes) -> _Table:
+        """Rehydrate a shard blob; its ways is encoded by its length."""
+        ways = len(blob) // (2 * self.m_slots)
+        return _Table(
+            self.m_slots,
+            ways,
+            np.frombuffer(blob, dtype=np.uint16).reshape(self.m_slots, ways).copy(),
+        )
 
     def bucket_col(self, url_hash: str = "url_hash") -> F.Column:
         return F.pmod(F.col(url_hash), F.lit(self.n_buckets)).cast("int")
@@ -186,18 +258,20 @@ class CuckooSeen:
     # -- build -----------------------------------------------------------------
 
     def build(self, hashes: DataFrame, url_hash: str = "url_hash") -> DataFrame:
-        """(url_hash) rows → shard table, one shard per non-empty bucket."""
-        m, ways = self.m_slots, self.ways
+        """(url_hash) rows → shard table, one shard per non-empty bucket.
+        Duplicate keys are dropped up front (np.unique): the BloomSeen
+        backend this is call-compatible with tolerates duplicates, so build
+        must too — without it each duplicate would burn a slot and a
+        non-distinct input could spuriously saturate (and n_keys would
+        double-count through merge)."""
+        m, ways, max_ways = self.m_slots, self.ways, self.max_ways
 
         def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            u = pdf[url_hash].to_numpy(dtype=np.int64).view(np.uint64)
-            t = _Table(m, ways)
-            failed = t.insert_pairs(_i1(u, m), _fingerprints(u))
-            if failed:
-                raise ValueError(
-                    f"cuckoo bucket {int(pdf['bucket'].iloc[0])} over capacity: "
-                    f"{failed} of {len(u)} keys unplaced — raise m_slots/ways"
-                )
+            u = np.unique(pdf[url_hash].to_numpy(dtype=np.int64).view(np.uint64))
+            t = _insert_with_growth(
+                _Table(m, ways), _i1(u, m), _fingerprints(u), max_ways,
+                f"bucket {int(pdf['bucket'].iloc[0])} build",
+            )
             return pd.DataFrame(
                 {
                     "bucket": [int(pdf["bucket"].iloc[0])],
@@ -217,22 +291,21 @@ class CuckooSeen:
     def merge(self, *shard_dfs: DataFrame) -> DataFrame:
         """Fold multiple shard rows per bucket into one by re-inserting the
         stored (index, fp) pairs — possible WITHOUT the original keys because
-        the XOR alternation re-derives each pair's partner index."""
-        m, ways = self.m_slots, self.ways
+        the XOR alternation re-derives each pair's partner index. Shards of
+        different ways merge fine: the widest one seeds the accumulator, and
+        the accumulator itself widens on saturation (up to max_ways)."""
+        max_ways = self.max_ways
+        from_blob = self._from_blob
 
         def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = _Table(
-                m, ways,
-                np.frombuffer(pdf["bitset"].iloc[0], dtype=np.uint16)
-                .reshape(m, ways)
-                .copy(),
-            )
-            for blob in pdf["bitset"].iloc[1:]:
-                slots = np.frombuffer(blob, dtype=np.uint16).reshape(m, ways)
-                idx, way = np.nonzero(slots)
-                failed = acc.insert_pairs(idx, slots[idx, way])
-                if failed:
-                    raise ValueError("cuckoo merge over capacity — raise m_slots")
+            blobs = sorted(pdf["bitset"], key=len, reverse=True)
+            acc = from_blob(blobs[0])
+            for blob in blobs[1:]:
+                t = from_blob(blob)
+                idx, way = np.nonzero(t.slots)
+                acc = _insert_with_growth(
+                    acc, idx.astype(np.int64), t.slots[idx, way], max_ways, "merge"
+                )
             return pd.DataFrame(
                 {
                     "bucket": [int(pdf["bucket"].iloc[0])],
@@ -254,7 +327,8 @@ class CuckooSeen:
         """Append ``maybe_seen``; False ⇒ certainly not inserted. A bucket may
         hold several shard rows between compactions — a key is maybe-seen if
         ANY shard contains it (OR over shards ≡ Bloom's OR-of-shards)."""
-        m, ways = self.m_slots, self.ways
+        m = self.m_slots
+        from_blob = self._from_blob
         out_schema = StructType(
             candidates.schema.fields
             + [StructField("maybe_seen", BooleanType(), False)]
@@ -270,8 +344,7 @@ class CuckooSeen:
             i1, fp = _i1(u, m), _fingerprints(u)
             hit = np.zeros(len(u), dtype=bool)
             for blob in shard["bitset"]:
-                t = _Table(m, ways, np.frombuffer(blob, dtype=np.uint16).reshape(m, ways))
-                hit |= t.contains(i1, fp)
+                hit |= from_blob(blob).contains(i1, fp)
             out["maybe_seen"] = hit
             return out
 
@@ -293,7 +366,8 @@ class CuckooSeen:
         fingerprint: semantically safe here (the filter stays a no-false-
         negative pre-filter for the REMAINING keys; the exact seen table is
         always the source of truth downstream)."""
-        m, ways = self.m_slots, self.ways
+        m = self.m_slots
+        from_blob = self._from_blob
         out_cols = [f.name for f in CUCKOO_SHARD.fields]
 
         def _delete(shard: pd.DataFrame, kdf: pd.DataFrame) -> pd.DataFrame:
@@ -304,12 +378,7 @@ class CuckooSeen:
                     "cuckoo delete requires compacted shards (one row per "
                     "bucket) — call merge() first"
                 )
-            t = _Table(
-                m, ways,
-                np.frombuffer(shard["bitset"].iloc[0], dtype=np.uint16)
-                .reshape(m, ways)
-                .copy(),
-            )
+            t = from_blob(shard["bitset"].iloc[0])
             removed = 0
             if not kdf.empty:
                 u = kdf[url_hash].to_numpy(dtype=np.int64).view(np.uint64)

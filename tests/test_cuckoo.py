@@ -73,7 +73,60 @@ def test_filter_new_cuckoo_equals_exact(spark):
     assert got == want
 
 
-def test_build_raises_at_saturation(spark):
-    ck = CuckooSeen(n_buckets=1, m_slots=1 << 6, ways=2)  # 128 slots
+def test_build_raises_at_saturation_when_growth_capped(spark):
+    # max_ways == ways disables auto-resize → the classic fail-loud contract
+    ck = CuckooSeen(n_buckets=1, m_slots=1 << 6, ways=2, max_ways=2)  # 128 slots
     with pytest.raises(Exception, match="over capacity"):
         ck.build(_keys(spark, 0, 1_000)).collect()
+
+
+def test_build_tolerates_duplicate_keys(spark):
+    """BloomSeen tolerates duplicate input keys, so the drop-in cuckoo must
+    too: each key repeated 4× at a volume that would over-saturate if
+    duplicates burned slots. n_keys counts DISTINCT keys."""
+    ck = CuckooSeen(n_buckets=1, m_slots=1 << 5, ways=2, max_ways=2)  # 64 slots
+    one = _keys(spark, 0, 50)
+    dup = one.unionAll(one).unionAll(one).unionAll(one)  # 200 rows, 50 distinct
+    shards = ck.build(dup).localCheckpoint()
+    assert shards.agg(F.sum("n_keys")).collect()[0][0] == 50
+    probed = ck.probe(one, shards).agg(
+        F.count("*").alias("n"), F.count_if("maybe_seen").alias("hit")
+    ).collect()[0]
+    assert probed["hit"] == probed["n"]
+
+
+def test_auto_resize_grows_ways_no_false_negatives(spark):
+    """Past ~0.95·m·ways the shard auto-resizes by doubling associativity
+    (the key-free growth axis — widening keeps every (index, fp) pair at its
+    index, so membership is exactly preserved); FPR stays within the widened
+    bound 2·ways/2^16."""
+    ck = CuckooSeen(n_buckets=1, m_slots=1 << 6, ways=2)  # 128 slots, grows
+    seen = _keys(spark, 0, 1_000)  # needs ways ≥ 16
+    shards = ck.build(seen).localCheckpoint()
+    blob_len = len(shards.select("bitset").collect()[0][0])
+    ways_used = blob_len // (2 * ck.m_slots)
+    assert ways_used >= 16  # resize actually happened
+    probed = ck.probe(seen, shards).agg(
+        F.count("*").alias("n"), F.count_if("maybe_seen").alias("hit")
+    ).collect()[0]
+    assert probed["hit"] == probed["n"]  # NO false negatives after resize
+    fresh = _keys(spark, 100_000, 140_000, salt=11)
+    fp = ck.probe(fresh, shards).agg(
+        F.count("*").alias("n"), F.count_if("maybe_seen").alias("hit")
+    ).collect()[0]
+    # slot-level FPR bound at the widened associativity, with 3× slack
+    assert fp["hit"] / fp["n"] < 3 * 2 * ways_used / (1 << 16)
+
+
+def test_merge_mixed_ways_shards(spark):
+    """A resized shard and an original-width shard merge into one row whose
+    membership covers both inputs (the accumulator widens as needed)."""
+    ck = CuckooSeen(n_buckets=1, m_slots=1 << 6, ways=2)
+    a = _keys(spark, 0, 1_000)      # forces resize
+    b = _keys(spark, 1_000, 1_050)  # fits at ways=2
+    merged = ck.merge(ck.build(a), ck.build(b)).localCheckpoint()
+    assert merged.count() == 1
+    probed = ck.probe(_keys(spark, 0, 1_050), merged).agg(
+        F.count("*").alias("n"), F.count_if("maybe_seen").alias("hit")
+    ).collect()[0]
+    assert probed["hit"] == probed["n"]
