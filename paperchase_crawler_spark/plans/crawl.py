@@ -221,18 +221,30 @@ class CrawlRunner:
             # Out-of-band STREAMING INGEST commits (streaming/frontier_ingest)
             # are legitimate post-checkpoint history, not crash garbage: they
             # carry "ingest_epochs" in their snapshot meta and are atomic +
-            # idempotent per table. Adopt the contiguous parent-chain of
-            # ingest-tagged snapshots after the checkpoint; roll back only
-            # from the first untagged (crashed-round) commit onward.
+            # idempotent per table. Adopt by PARENT CHAIN, not id order:
+            # rolled-back-over crashed-round snapshots stay on disk with ids
+            # BETWEEN the checkpoint and a later legitimate ingest commit
+            # (crash mid-round → resume rollback → ingest → crash again), so
+            # an ascending scan that breaks at the first untagged id would
+            # stop on stale garbage and silently roll back a committed ingest
+            # epoch the stream checkpoint will never redeliver. Instead:
+            # repeatedly search ALL post-checkpoint snapshots for a tagged
+            # child whose parent == the adopted target, advance, and only
+            # then roll back — garbage snapshots are never on the parent
+            # chain of a live commit (their children were rolled back too).
             target = tbl
-            for sid in it.snapshot_ids():
-                if tbl is not None and sid <= tbl:
-                    continue
-                snap = it.snapshot(sid)
-                if "ingest_epochs" in snap["meta"] and snap["parent"] == target:
-                    target = sid
-                else:
+            while True:
+                child = None
+                for sid in it.snapshot_ids():
+                    if tbl is not None and sid <= tbl:
+                        continue
+                    snap = it.snapshot(sid)
+                    if "ingest_epochs" in snap["meta"] and snap["parent"] == target:
+                        child = sid
+                        break
+                if child is None:
                     break
+                target = child
             if it.current_snapshot_id() != target:
                 it.rollback(target)
         return r
@@ -493,8 +505,12 @@ class CrawlRunner:
         r = self.round + 1
         spark = self.spark
         # compose with out-of-band streaming ingestion: URLs may have been
-        # ingested between rounds with disc_seqs past our checkpoint counter
+        # ingested between rounds with disc_seqs past our checkpoint counter.
+        # BETWEEN rounds is the supported composition window (availableNow
+        # drains); _guard_disc_hwm below makes that a fail-stop invariant
+        # rather than a convention.
         self.next_disc_seq = max(self.next_disc_seq, self._frontier_disc_hwm())
+        hwm_at_start = self.next_disc_seq
         _t: dict[str, float] = {}
         _t0 = _time.time()
 
@@ -734,6 +750,28 @@ class CrawlRunner:
                     "partitions": part_metrics,
                     "next_disc_seq": self.next_disc_seq + n_new,
                 },
+            )
+
+        # disc_seq uniqueness guard: the round claimed [next_disc_seq,
+        # next_disc_seq + n_new) when it started from the published
+        # high-water mark. A concurrent ingest epoch landing MID-round (a
+        # processingTime stream, which this engine does not support
+        # co-executing with a live round) would have allocated from the same
+        # mark — overlapping disc_seqs would break the global uniqueness the
+        # R3/R4 ordering and the zone-pruning key proof rely on. Detect the
+        # moved mark BEFORE any disc_seq-bearing table commits and fail stop:
+        # the round's ordering/corpus appends (no disc_seqs) are
+        # post-checkpoint garbage that CrawlRunner.resume() rolls back, so
+        # the round replays cleanly after the ingest quiesces.
+        hwm_now = self._frontier_disc_hwm()
+        if hwm_now > hwm_at_start:
+            raise RuntimeError(
+                f"concurrent ingest advanced the disc_seq high-water mark "
+                f"mid-round ({hwm_at_start} → {hwm_now}); co-executing a "
+                "processingTime ingest stream with a live round is "
+                "unsupported — run ingest between rounds (availableNow). "
+                "No disc_seq-bearing table was committed; resume() replays "
+                "this round safely."
             )
 
         from concurrent.futures import ThreadPoolExecutor

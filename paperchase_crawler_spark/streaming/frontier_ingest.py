@@ -26,6 +26,8 @@ ordering (ingested URLs enqueue exactly like expanded outlinks).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +75,35 @@ def _epoch_meta(tbl: IceTable, epoch_id: int, extra: dict | None = None) -> dict
     return meta
 
 
+def _require_bloom_when_crawl_uses_it(frontier: IceTable, bloom) -> None:
+    """Hard invariant (not a convention): a Bloom-enabled CrawlRunner relies
+    on seen-keys ⊆ bloom — ``filter_new_bucketed`` treats a non-suspect as
+    *certainly new* and skips the exact verify. An ingest that appends to
+    seen but not to bloom_shards breaks that superset: a later in-crawl
+    rediscovery of the ingested URL probes not-in-bloom, re-enqueues it with
+    a fresh disc_seq, and the MoR last-wins merge resets its state (possible
+    re-fetch) while violating the per-URL key immutability the zone-pruned
+    SELECT's exactness proof assumes. Detect the runner's config from its
+    checkpoint (frontier lives at <workdir>/frontier) and refuse."""
+    if bloom is not None:
+        return
+    ckpt = os.path.join(os.path.dirname(frontier.path.rstrip("/")), "CHECKPOINT")
+    try:
+        with open(ckpt) as f:
+            state = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    if state.get("bloom"):
+        raise ValueError(
+            "this crawl runs with a Bloom URL-seen filter "
+            f"({state['bloom']}) — streaming ingest MUST maintain it: pass "
+            "bloom=BloomSeen(**ckpt['bloom']) and bloom_shards="
+            "IceTable(<workdir>/bloom_shards) to ingest_batch/"
+            "run_ingest_stream, or the seen⊆bloom invariant the crawl's "
+            "filter_new_bucketed fast path depends on silently breaks"
+        )
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -85,6 +116,9 @@ def ingest_batch(
     max_tokens: int = 8,
     depth: int = 0,
     robots_rules_df: DataFrame | None = None,
+    bloom=None,
+    bloom_shards: IceTable | None = None,
+    bloom_shard_groups: int = 16,
 ) -> dict[str, Any]:
     """Land one micro-batch of (raw_url, src_seq) rows into the frontier.
     Idempotent per (table, epoch): replays are skipped. Returns counters.
@@ -93,9 +127,19 @@ def ingest_batch(
     host_state): when given, ingested URLs pass the SAME R6 enqueue-time
     robots gate the BSP loop applies, landing as state='blocked' instead of
     'queued' — the SELECT stage assumes every queued row already passed
-    robots, so feeds into a live crawl MUST provide it."""
-    if _epoch_already_applied(frontier, epoch_id) and _epoch_already_applied(
-        seen, epoch_id
+    robots, so feeds into a live crawl MUST provide it.
+
+    ``bloom``/``bloom_shards``/``bloom_shard_groups`` (BloomSeen or
+    CuckooSeen + the shard IceTable + the runner's bloom_shard_groups): when
+    the composed crawl maintains a probabilistic seen filter, ingest appends
+    the new keys' shards under the same epoch tag, preserving the
+    seen-keys ⊆ filter invariant filter_new_bucketed's certainly-new fast
+    path depends on. Feeding a Bloom-enabled crawl WITHOUT these raises."""
+    _require_bloom_when_crawl_uses_it(frontier, bloom)
+    if (
+        _epoch_already_applied(frontier, epoch_id)
+        and _epoch_already_applied(seen, epoch_id)
+        and (bloom is None or _epoch_already_applied(bloom_shards, epoch_id))
     ):
         return {"epoch": epoch_id, "n_new": 0, "replayed": True}
 
@@ -165,6 +209,25 @@ def ingest_batch(
             .repartition(seen_buckets, F.col("__fb")),
             meta=_epoch_meta(seen, epoch_id),
         )
+    if (
+        bloom is not None
+        and n_new
+        and not _epoch_already_applied(bloom_shards, epoch_id)
+    ):
+        shards = bloom.build(rows.select("url_hash")).withColumn(
+            "__fb",
+            F.pmod(F.col("bucket"), F.lit(bloom_shard_groups)).cast("int"),
+        )
+        if bloom_shards.current_snapshot_id() is None:
+            # standalone ingest before any crawl round seeded the table
+            bloom_shards.overwrite_bucketed(
+                shards, n_buckets=bloom_shard_groups,
+                meta=_epoch_meta(bloom_shards, epoch_id),
+            )
+        else:
+            bloom_shards.append_bucketed_delta(
+                shards, meta=_epoch_meta(bloom_shards, epoch_id)
+            )
     return {"epoch": epoch_id, "n_new": n_new, "replayed": False}
 
 
@@ -179,10 +242,20 @@ def run_ingest_stream(
     seen_buckets: int = 64,
     max_tokens: int = 8,
     robots_rules_df: DataFrame | None = None,
+    bloom=None,
+    bloom_shards: IceTable | None = None,
+    bloom_shard_groups: int = 16,
 ) -> list[dict[str, Any]]:
     """Drain a streaming (raw_url, src_seq) source into the frontier with
-    availableNow (process-everything-then-stop — the testable trigger; swap
-    for processingTime in a live deployment). Returns per-epoch counters."""
+    availableNow (process-everything-then-stop). Returns per-epoch counters.
+
+    COMPOSITION CONTRACT: run this BETWEEN BSP rounds. A processingTime
+    stream co-executing with a live round is unsupported — the round claims
+    its disc_seq block from the published high-water mark at round start and
+    publishes the new mark only at its frontier commit, so a mid-round epoch
+    would allocate overlapping disc_seqs. The crawl loop enforces this as a
+    fail-stop invariant (run_round re-checks the mark before any
+    disc_seq-bearing commit and aborts the round, resumable, if it moved)."""
     results: list[dict[str, Any]] = []
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -192,6 +265,8 @@ def run_ingest_stream(
                 n_buckets=n_buckets, salts=salts,
                 seen_buckets=seen_buckets, max_tokens=max_tokens,
                 robots_rules_df=robots_rules_df,
+                bloom=bloom, bloom_shards=bloom_shards,
+                bloom_shard_groups=bloom_shard_groups,
             )
         )
 

@@ -246,3 +246,171 @@ def test_ingest_after_aggressive_retention(spark, tmp_path):
     assert len(seqs) == len(set(seqs))  # the ingested seq did not collide
     ingested = [row for row in fr if row["canon_url"].endswith("late-feed")]
     assert ingested[0]["disc_seq"] == max(seqs)
+
+
+def test_ingest_maintains_bloom_invariant(spark, tmp_path):
+    """A Bloom-enabled crawl relies on seen-keys ⊆ bloom (filter_new_bucketed
+    treats a non-suspect as certainly-new, skipping the exact verify), so
+    ingest must append the new keys' shards too — and must REFUSE to run
+    against a Bloom-enabled crawl without the filter wired in."""
+    import pytest
+
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.operators.seen import (
+        BloomSeen,
+        filter_new_bucketed,
+    )
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+
+    wd = str(tmp_path / "bloomed")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4,
+        bloom=BloomSeen(n_buckets=16, m_bits=1 << 12, k=5),
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    batch = spark.createDataFrame(
+        [("https://host0.example/feed-page", 1)], "raw_url string, src_seq long"
+    )
+    # without the bloom wired in: hard refusal, nothing committed
+    f_snap = runner.frontier.current_snapshot_id()
+    with pytest.raises(ValueError, match="Bloom"):
+        ingest_batch(
+            spark, batch, runner.frontier, runner.seen, epoch_id=1,
+            n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+        )
+    assert runner.frontier.current_snapshot_id() == f_snap
+    # with it: the ingested key becomes a bloom suspect, so a later in-crawl
+    # rediscovery is filtered as seen instead of re-enqueued
+    r = ingest_batch(
+        spark, batch, runner.frontier, runner.seen, epoch_id=1,
+        n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+        robots_rules_df=runner.host_state.read(spark).select(
+            "host", "robots_rules"
+        ),
+        bloom=runner.bloom, bloom_shards=runner.bloom_shards,
+        bloom_shard_groups=runner.bloom_shard_groups,
+    )
+    assert r["n_new"] == 1
+    cand = batch.select(
+        F.xxhash64(F.lit("https://host0.example/feed-page")).alias("url_hash")
+    )
+    new, info = filter_new_bucketed(
+        spark, cand, runner.seen, runner.bloom,
+        runner.bloom_shards.read(spark), runner.seen_buckets,
+    )
+    assert new.count() == 0  # rediscovery is recognized as already seen
+    assert info["n_suspects"] == 1
+    # epoch replay: the bloom table is idempotent like frontier/seen
+    b_snap = runner.bloom_shards.current_snapshot_id()
+    r2 = ingest_batch(
+        spark, batch, runner.frontier, runner.seen, epoch_id=1,
+        n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+        bloom=runner.bloom, bloom_shards=runner.bloom_shards,
+        bloom_shard_groups=runner.bloom_shard_groups,
+    )
+    assert r2["replayed"] is True
+    assert runner.bloom_shards.current_snapshot_id() == b_snap
+    # the composed crawl keeps running (resume adopts all three tables)
+    resumed = CrawlRunner.resume(spark, wd)
+    resumed.run(1)
+    fr = merged_frontier(spark, resumed.frontier).collect()
+    seqs = [row["disc_seq"] for row in fr]
+    assert len(seqs) == len(set(seqs))
+
+
+def test_resume_adopts_ingest_past_crash_garbage(spark, tmp_path):
+    """Rolled-back-over crashed-round snapshots keep ids BETWEEN the
+    checkpoint and a later legitimate ingest commit. Resume must adopt by
+    parent chain — an ascending id scan would stop on the garbage id and
+    silently roll back the committed ingest epoch (which the stream
+    checkpoint will never redeliver)."""
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+    from paperchase_crawler_spark.schemas import FRONTIER
+
+    wd = str(tmp_path / "chain")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    ckpt_snap = runner.frontier.current_snapshot_id()
+    # crash garbage: an untagged post-checkpoint delta, then the rollback a
+    # previous resume would have done (snapshot file stays on disk)
+    garbage = spark.createDataFrame(
+        [("https://host0.example/crashed", 12345, "host0.example",
+          1, 10_000, -1.0, "queued", 2, None)],
+        FRONTIER,
+    )
+    runner._frontier_append_delta(garbage, meta={"round": 99})
+    garbage_snap = runner.frontier.current_snapshot_id()
+    runner.frontier.rollback(ckpt_snap)
+    # a legitimate ingest epoch lands AFTER the crash+rollback
+    r = ingest_batch(
+        spark,
+        spark.createDataFrame(
+            [("https://host0.example/after-crash", 1)],
+            "raw_url string, src_seq long",
+        ),
+        runner.frontier, runner.seen, epoch_id=3,
+        n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+    )
+    assert r["n_new"] == 1
+    ingest_snap = runner.frontier.current_snapshot_id()
+    assert garbage_snap < ingest_snap  # the garbage id sits in between
+    resumed = CrawlRunner.resume(spark, wd)
+    # the ingest commit survived; the garbage did not
+    assert resumed.frontier.current_snapshot_id() == ingest_snap
+    urls = {r["canon_url"] for r in merged_frontier(spark, resumed.frontier).collect()}
+    assert "https://host0.example/after-crash" in urls
+    assert "https://host0.example/crashed" not in urls
+
+
+def test_midround_ingest_fails_stop_and_resumes(spark, tmp_path):
+    """A concurrent ingest epoch landing MID-round would allocate disc_seqs
+    overlapping the round's claimed block. The round must detect the moved
+    high-water mark BEFORE committing any disc_seq-bearing table, abort, and
+    replay cleanly after resume."""
+    import pytest
+
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+
+    wd = str(tmp_path / "midround")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    # inject an ingest epoch in the middle of round 2 (after SELECT/FETCH,
+    # before the commit phase) by hooking the ordering append
+    orig_append = runner.ordering.append
+
+    def hooked(df, meta=None):
+        ingest_batch(
+            spark,
+            spark.createDataFrame(
+                [("https://host0.example/raced", 1)],
+                "raw_url string, src_seq long",
+            ),
+            runner.frontier, runner.seen, epoch_id=11,
+            n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+            robots_rules_df=runner.host_state.read(spark).select(
+                "host", "robots_rules"
+            ),
+        )
+        return orig_append(df, meta=meta)
+
+    runner.ordering.append = hooked
+    with pytest.raises(RuntimeError, match="mid-round"):
+        runner.run_round()
+    # resume rolls back the aborted round's partial commits, adopts the
+    # ingest epoch, and the replayed round allocates PAST it
+    resumed = CrawlRunner.resume(spark, wd)
+    resumed.run_round()
+    fr = merged_frontier(spark, resumed.frontier).collect()
+    seqs = [row["disc_seq"] for row in fr]
+    assert len(seqs) == len(set(seqs))  # no disc_seq overlap
+    urls = {row["canon_url"] for row in fr}
+    assert "https://host0.example/raced" in urls
