@@ -332,17 +332,20 @@ def compute_frontier_zones(
 
 
 def _pruned_bucket_plan(
-    plan: dict,
-    zones: dict[str, dict],
+    summaries: dict[str, dict],
     budget: int,
     max_tokens: int,
     overscan: float,
     max_scan_frac: float,
 ):
-    """Choose what to read. Returns (rows, tau, info): rows is the
-    [(bucket, files)] manifest, tau the exclusive (depth, disc_seq) bound the
-    kernel filters to (None → no row filter), or None entirely when any file
-    lacks zone stats (unknown → full scan).
+    """Choose what to read, from the SNAPSHOT SUMMARIES ALONE — no manifest
+    or file IO (the r3 verdict's metadata scale term: planning used to walk
+    every file's zone dict in driver Python per round; now it reads one
+    O(buckets) summary table and the caller opens only the chosen buckets'
+    manifests). Returns (bucket_keys, tau, info): bucket_keys the buckets to
+    scan, tau the exclusive (depth, disc_seq) bound the kernel filters to
+    (None → no row filter), or None entirely when any populated bucket lacks
+    zone stats (unknown → full scan).
 
     tau selection is DEPTH-HISTOGRAM based: the global per-depth queued
     counts pick the smallest d* whose cumulative count covers
@@ -352,28 +355,25 @@ def _pruned_bucket_plan(
     alone cannot prune a uniform frontier) AND at bucket level (buckets with
     no queued row below tau are never opened). Buckets with zero queued rows
     anywhere are skipped unconditionally — exact with no verification, since
-    a row whose latest version is queued is queued in some file."""
-    entries = []  # (bucket, files, hist) for queued-bearing buckets
+    a row whose latest version is queued is queued in some file, so the
+    summary's per-file-aggregated histograms upper-bound the merged view."""
+    entries = []  # (bucket_key, hist) for queued-bearing buckets
     n_total = 0
     depth_tot: dict[int, int] = {}
     sel_tot: dict[int, int] = {}
-    for b in sorted(plan, key=int):
-        files = plan[b]["base"] + plan[b]["delta"]
-        if not files:
+    for b in sorted(summaries, key=int):
+        s = summaries[b]
+        if s["n_base_files"] + s["n_delta_files"] == 0:
             continue
         n_total += 1
-        hist: dict[int, int] = {}
-        for f in files:
-            z = zones.get(f)
-            if not z or "sel_hist" not in z:
-                return None
-            for d, n in z.get("depth_hist", {}).items():
-                hist[int(d)] = hist.get(int(d), 0) + n
-            for d, n in z["sel_hist"].items():
-                sel_tot[int(d)] = sel_tot.get(int(d), 0) + n
+        if not s.get("zoned"):
+            return None
+        hist = {int(d): n for d, n in s.get("depth_hist", {}).items()}
+        for d, n in s.get("sel_hist", {}).items():
+            sel_tot[int(d)] = sel_tot.get(int(d), 0) + n
         if not hist:
             continue  # provably no queued rows — skip unconditionally
-        entries.append((int(b), files, hist))
+        entries.append((b, hist))
         for d, n in hist.items():
             depth_tot[d] = depth_tot.get(d, 0) + n
     total_q = sum(depth_tot.values())
@@ -398,17 +398,13 @@ def _pruned_bucket_plan(
     ):
         # row pruning can't skip a useful fraction: scan all queued-bearing
         # buckets unfiltered (exact, no verification cost)
-        rows = [(b, files) for (b, files, _) in entries]
+        keys = [b for (b, _) in entries]
         tau = None
     else:
         tau = (d_star, _MAX_SEQ)
-        rows = [
-            (b, files)
-            for (b, files, hist) in entries
-            if any(d <= d_star for d in hist)
-        ]
+        keys = [b for (b, hist) in entries if any(d <= d_star for d in hist)]
     info = {
-        "scanned_buckets": len(rows),
+        "scanned_buckets": len(keys),
         "queued_buckets": len(entries),
         "total_buckets": n_total,
         "tau": list(tau) if tau else None,
@@ -416,7 +412,7 @@ def _pruned_bucket_plan(
         "total_queued": total_q,
         "pruned": True,
     }
-    return rows, tau, info
+    return keys, tau, info
 
 
 def select_candidates_pruned(
@@ -431,11 +427,11 @@ def select_candidates_pruned(
     tau is None when the result is exact with no verification needed, else
     the caller MUST verify ≥ budget post-cut survivors have key < tau and
     fall back to ``select_candidates`` otherwise (see select_frontier_round)."""
-    plan = tbl.bucket_plan()
     pr = _pruned_bucket_plan(
-        plan, tbl.bucket_zones(), budget, max_tokens, overscan, max_scan_frac
+        tbl.bucket_summaries(), budget, max_tokens, overscan, max_scan_frac
     )
     if pr is None:
+        plan = tbl.bucket_plan()
         rows = [
             (int(b), plan[b]["base"] + plan[b]["delta"])
             for b in sorted(plan, key=int)
@@ -448,7 +444,13 @@ def select_candidates_pruned(
             "pruned": False,
         }
         return _scan_manifest(spark, rows, max_tokens), None, info
-    rows, tau, info = pr
+    keys, tau, info = pr
+    # only the chosen buckets' manifests are opened
+    plan = tbl.bucket_plan(buckets=keys)
+    rows = [
+        (int(b), plan[b]["base"] + plan[b]["delta"])
+        for b in sorted(plan, key=int)
+    ]
     return _scan_manifest(spark, rows, max_tokens, tau), tau, info
 
 
@@ -600,8 +602,8 @@ def compacted_frontier(
     shuffle-free — feed straight to overwrite_bucketed for compaction.
     ``buckets`` scopes the merge to a subset (partial compaction via
     overwrite_buckets_partial: cold buckets are neither read nor rewritten)."""
-    plan = tbl.bucket_plan()
-    keys = sorted(plan, key=int) if buckets is None else sorted(buckets, key=int)
+    plan = tbl.bucket_plan(buckets=buckets)
+    keys = sorted(plan, key=int)
     rows = [(int(b), plan[b]["base"] + plan[b]["delta"]) for b in keys]
     if not rows:
         return spark.createDataFrame([], _COMPACT_SCHEMA)

@@ -212,15 +212,10 @@ def filter_new_bucketed(
     if not bucket_rows:
         info["files_read"] = 0
         return certain_new, info
-    plan = seen_tbl.bucket_plan()
-    files = [
-        f
-        for r in bucket_rows
-        for f in (
-            plan.get(str(r["b"]), {"base": [], "delta": []})["base"]
-            + plan.get(str(r["b"]), {"base": [], "delta": []})["delta"]
-        )
-    ]
+    # only the suspect buckets' manifests are opened — cold buckets cost
+    # zero metadata IO as well as zero data IO
+    plan = seen_tbl.bucket_plan(buckets=[str(r["b"]) for r in bucket_rows])
+    files = [f for v in plan.values() for f in v["base"] + v["delta"]]
     info["files_read"] = len(files)
     if not files:
         return certain_new.unionByName(suspects), info

@@ -295,8 +295,13 @@ class CrawlRunner:
             zone_fn=self._zone_fn,
         )
         if self.frontier.delta_fraction() > self.compact_delta_frac:
-            plan = self.frontier.bucket_plan()
-            hot = [b for b, v in plan.items() if v["delta"]]
+            # hot buckets straight off the snapshot summaries — no manifest
+            # IO for cold buckets
+            hot = [
+                b
+                for b, s in self.frontier.bucket_summaries().items()
+                if s["n_delta_files"]
+            ]
             merged = compacted_frontier(
                 self.spark,
                 self.frontier,
@@ -323,13 +328,8 @@ class CrawlRunner:
         bucket count rewrites the whole frontier once (the ONLY non-bucket-
         local maintenance op, amortized over the growth that triggered it) so
         per-bucket merge tasks stay memory-bounded as the frontier grows."""
-        snap = self.frontier.snapshot()
-        bk = snap["meta"]["buckets"]
-        counts = snap["row_counts"]
         per_bucket = {
-            b: sum(counts[f] for f in bk["base"].get(b, []))
-            + sum(counts[f] for f in bk.get("delta", {}).get(b, []))
-            for b in bk["base"]
+            b: s["rows"] for b, s in self.frontier.bucket_summaries().items()
         }
         if not per_bucket or max(per_bucket.values()) <= self.rows_per_bucket_target:
             return
@@ -385,16 +385,14 @@ class CrawlRunner:
         """Fold a seen bucket's delta files into one once they exceed
         seen_files_per_bucket — bucket-scoped like the Bloom/frontier
         compactions: cold buckets' files are untouched."""
-        bk = self.seen.snapshot()["meta"]["buckets"]
         hot = [
             b
-            for b in bk["base"]
-            if len(bk["base"].get(b, [])) + len(bk.get("delta", {}).get(b, []))
-            > self.seen_files_per_bucket
+            for b, s in self.seen.bucket_summaries().items()
+            if s["n_base_files"] + s["n_delta_files"] > self.seen_files_per_bucket
         ]
         if not hot:
             return
-        plan = self.seen.bucket_plan()
+        plan = self.seen.bucket_plan(buckets=hot)
         files = [f for b in hot for f in plan[b]["base"] + plan[b]["delta"]]
         merged = self._seen_layout(
             self.spark.read.schema("url_hash long").parquet(*files)
@@ -809,23 +807,17 @@ class CrawlRunner:
         """Merge shard rows group-by-group, ONLY for groups whose shard-row
         count exceeds their bucket allowance — a strict subset of the table's
         files is read and rewritten (r2 verdict "What's missing" #3)."""
-        snap = self.bloom_shards.snapshot()
-        bk = snap["meta"]["buckets"]
-        counts = snap["row_counts"]
         per_group_allowance = (
             self.bloom.n_buckets / self.bloom_shard_groups
         ) * self.bloom_shards_per_bucket
-        hot = []
-        for g in bk["base"]:
-            rows_g = sum(
-                counts[f]
-                for f in bk["base"].get(g, []) + bk.get("delta", {}).get(g, [])
-            )
-            if rows_g > per_group_allowance:
-                hot.append(g)
+        hot = [
+            g
+            for g, s in self.bloom_shards.bucket_summaries().items()
+            if s["rows"] > per_group_allowance
+        ]
         if not hot:
             return
-        plan = self.bloom_shards.bucket_plan()
+        plan = self.bloom_shards.bucket_plan(buckets=hot)
         hot_files = [f for g in hot for f in plan[g]["base"] + plan[g]["delta"]]
         merged = self.bloom.merge(self.spark.read.parquet(*hot_files)).withColumn(
             "__fb", self._bloom_group_col()

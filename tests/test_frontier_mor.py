@@ -322,14 +322,9 @@ def test_bloom_partial_compaction_rewrites_subset(spark, tmp_path):
     ]
     assert "replace" in ops  # a partial compaction happened
     # every bucket's shard count is back within the allowance
-    bk = snap["meta"]["buckets"]
     allowance = (16 / 4) * 1
-    for g in bk["base"]:
-        n = sum(
-            snap["row_counts"][f]
-            for f in bk["base"].get(g, []) + bk.get("delta", {}).get(g, [])
-        )
-        assert n <= allowance * 2 + 4  # bounded, not unbounded growth
+    for g, s in runner.bloom_shards.bucket_summaries().items():
+        assert s["rows"] <= allowance * 2 + 4  # bounded, not unbounded growth
     # equivalence with the oracle still holds (probe over compacted groups)
     oracle = oracle_crawl(SEEDS, rounds=2, round_budget=120)
     assert {r["url_hash"] for r in runner.seen_df().collect()} == oracle.seen

@@ -100,3 +100,66 @@ def test_version_pointer_is_last(spark, tbl):
     # crash mid-commit by writing data without committing: invisible to readers
     files, counts = tbl._write_data(_df(spark, [2]), 99)
     assert sorted(r.x for r in tbl.read(spark).collect()) == [1]
+
+
+def test_manifest_metadata_is_o_touched_buckets(spark, tmp_path):
+    """The r3 verdict's last design-point scale term: every commit used to
+    rewrite one snap-N.json carrying ALL files + row counts + zones, so
+    snapshot bytes grew with total file count. With manifest sharding a
+    delta commit must write (a) manifests ONLY for touched buckets and (b)
+    an O(buckets) snapshot whose size is INDEPENDENT of accumulated files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = IceTable(str(tmp_path / "m"))
+    NB = 64
+    base = spark.range(0, 6400).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(NB)).cast("int").alias("__fb")
+    )
+    t.overwrite_bucketed(base, n_buckets=NB)
+
+    def snap_bytes():
+        sid = t.current_snapshot_id()
+        return os.path.getsize(os.path.join(t.meta_dir, f"snap-{sid}.json"))
+
+    def delta(lo):
+        # rows landing in exactly two buckets: 3 and 7
+        return spark.range(lo, lo + 20).select(
+            F.col("id").alias("k"),
+            (F.pmod("id", F.lit(2)) * 4 + 3).cast("int").alias("__fb"),
+        ).repartition(2, F.col("__fb"))
+
+    t.append_bucketed_delta(delta(10_000))
+    size_after_1 = snap_bytes()
+    for i in range(9):
+        t.append_bucketed_delta(delta(20_000 + i * 100))
+    size_after_10 = snap_bytes()
+    sid = t.current_snapshot_id()
+    # (a) only the two touched buckets' manifests were written this commit
+    assert t.last_touched_buckets == 2
+    written = glob.glob(os.path.join(t.manifest_dir, f"m-{sid}-*.json"))
+    assert len(written) == 2
+    # (b) snapshot size is flat while the table accumulated 18 more files
+    assert size_after_10 < size_after_1 * 1.2
+    # and the snapshot carries NO per-file inline lists
+    snap = t.snapshot()
+    assert snap["files"] == [] and snap["row_counts"] == {}
+    # data correctness through the manifest plane
+    assert t.read(spark).count() == 6400 + 10 * 20
+    plan = t.bucket_plan()
+    assert len(plan) == NB
+    assert len(plan["3"]["delta"]) == 10 and len(plan["0"]["delta"]) == 0
+    # scoped plan opens only requested buckets
+    assert set(t.bucket_plan(buckets=["3", "7"])) == {"3", "7"}
+    # summaries carry the per-bucket accounting planners need
+    summ = t.bucket_summaries()
+    assert summ["3"]["delta_rows"] == 100 and summ["0"]["delta_rows"] == 0
+    assert abs(t.delta_fraction() - 200 / 6400) < 1e-9
+    # (c) retention vacuums manifests no surviving snapshot references
+    n_manifests_before = len(os.listdir(t.manifest_dir))
+    t.expire_snapshots(keep_last=1)
+    n_manifests_after = len(os.listdir(t.manifest_dir))
+    assert n_manifests_after < n_manifests_before
+    assert t.read(spark).count() == 6400 + 10 * 20  # current snapshot intact
