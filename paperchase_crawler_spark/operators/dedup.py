@@ -255,28 +255,60 @@ def simhash_pairs(
     ``banded=False`` keeps the O(N²) pairwise reference (oracle-scale only).
     """
     s = _reuse(simhash64(_spread(df), text_col, id_col))
+    return hamming_dup_pairs(
+        s, "simhash", "doc_id", bits=32, max_hamming=max_hamming,
+        banded=banded, reused=True,
+    )
+
+
+def hamming_dup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    banded: bool = True,
+    reused: bool = False,
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, hamming) on a PRECOMPUTED ``bits``-wide
+    integer hash column — the shared kernel behind simhash text dedup and
+    perceptual-hash image dedup.
+
+    Default (``banded=True``) is the scale path: split the hash into
+    ``max_hamming + 1`` bit blocks — by pigeonhole, Hamming ≤ max_hamming
+    implies at least one block is EQUAL — equi-join per block on
+    (block_idx, block_value), then verify exact Hamming and distinct the
+    pairs. Identical output to the pairwise form (property-tested), but the
+    join is a shuffled equi-join on the block key, never a cartesian.
+    Negative (full-range int64) hashes are fine: the block mask strips
+    shiftright's sign extension, and bit_count(xor) is sign-agnostic.
+
+    ``banded=False`` keeps the O(N²) pairwise reference (oracle-scale only).
+    ``reused=True`` skips the internal materialization when the caller
+    already checkpointed ``df`` (the self-join would otherwise recompute the
+    hash lineage once per side)."""
+    s = df.select(id_col, hash_col) if reused else _reuse(
+        _spread(df.select(id_col, hash_col))
+    )
+    ida, idb = f"a.{id_col}", f"b.{id_col}"
+    hx = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
     if not banded:
         a, b = s.alias("a"), s.alias("b")
         return (
-            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .withColumn(
-                "hamming",
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
-            )
+            a.join(b, F.col(ida) < F.col(idb))
+            .withColumn("hamming", hx)
             .filter(F.col("hamming") <= max_hamming)
             .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                "hamming",
+                F.col(ida).alias("doc_a"), F.col(idb).alias("doc_b"), "hamming"
             )
         )
     n_blocks = max_hamming + 1
-    bounds = [i * 32 // n_blocks for i in range(n_blocks + 1)]
+    bounds = [i * bits // n_blocks for i in range(n_blocks + 1)]
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), bounds[i])
+                F.shiftright(F.col(hash_col), bounds[i])
                 .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                 .alias("val"),
             )
@@ -284,25 +316,50 @@ def simhash_pairs(
         ]
     )
     ex = s.select(
-        "doc_id", "simhash", F.explode(blocks).alias("b")
-    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+        id_col, hash_col, F.explode(blocks).alias("b")
+    ).select(
+        id_col, hash_col, F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
     a, b = ex.alias("a"), ex.alias("b")  # both sides read the checkpointed s
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(ida) < F.col(idb)),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col(ida).alias("doc_a"),
+            F.col(idb).alias("doc_b"),
+            hx.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 6,
+    banded: bool = True,
+) -> DataFrame:
+    """Corpus-level near-duplicate IMAGE detection: pairs whose 64-bit
+    perceptual hash (codecs/phash.py — stored on every corpus row at fetch
+    time, so this never touches image bytes) differ by ≤ ``max_hamming``
+    bits. Composes the stored phash with the banded-Hamming pigeonhole
+    equi-join (hamming_dup_pairs) — the image twin of simhash text dedup,
+    and the missing first-class member the r3 review called out. Returns
+    (img_a, img_b, hamming). At 10^10 images this is a shuffled equi-join
+    on (block, value) with an in-bucket exact verify — never all-pairs."""
+    pairs = hamming_dup_pairs(
+        df, phash_col, id_col, bits=64, max_hamming=max_hamming, banded=banded
+    )
+    return pairs.select(
+        F.col("doc_a").alias("img_a"),
+        F.col("doc_b").alias("img_b"),
+        "hamming",
     )
 
 

@@ -15,6 +15,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Literal-baked assignment (planes/centroids folded into the plan as column
+# literals — zero shuffle, zero join) is the right call for the usual tiny
+# dimension tables, but the PLAN grows with n_rows × dim: past ~10^4
+# centroids it bloats Catalyst analysis/codegen and eventually fails to
+# compile. Past this budget (in floats) the operators below switch to a
+# broadcast-join assignment automatically: same math (bit-identical — both
+# paths reduce the same doubles in the same order), bounded plan, at the
+# cost of one aggregation shuffle on the row id.
+LITERAL_BUDGET_FLOATS = 20_000
+
+
+def _assign_mode(n_rows: int, dim: int, assign_path: str) -> str:
+    if assign_path != "auto":
+        return assign_path
+    return "literal" if n_rows * dim <= LITERAL_BUDGET_FLOATS else "broadcast"
+
 
 def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
@@ -62,29 +78,57 @@ def with_lsh_bucket(
     planes: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_path: str = "auto",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j)).
 
-    ``planes`` is a tiny (plane_idx, vec) table: it is COLLECTED and baked
-    into the plan as literal arrays, so the bucket is pure narrow column
-    algebra computed in place — no broadcast cross join, no groupBy shuffle,
-    no join-back (the r2 form paid all three; the literal form is the same
-    trick as dedup._lsh_band_codes). Deterministic given the planes; the
-    oracle derives planes from fixed corpus rows so the SQL twin is exact."""
+    Default path for a tiny ``planes`` (plane_idx, vec) table: COLLECT and
+    bake it into the plan as literal arrays, so the bucket is pure narrow
+    column algebra computed in place — no broadcast cross join, no groupBy
+    shuffle, no join-back (the r2 form paid all three; the literal form is
+    the same trick as dedup._lsh_band_codes). Past LITERAL_BUDGET_FLOATS
+    (``assign_path`` "auto"; force with "literal"/"broadcast") the sign bits
+    come from a broadcast join + per-id bit-sum instead — identical buckets
+    (each bit's dot product reduces the same doubles in the same order),
+    bounded plan size, one extra shuffle on ``id_col``. Deterministic given
+    the planes; the oracle derives planes from fixed corpus rows so the SQL
+    twin is exact."""
     rows = sorted(
         planes.select(
             "plane_idx", F.col(vec_col).cast("array<double>").alias("pv")
         ).collect(),
         key=lambda r: r["plane_idx"],
     )
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for r in rows:
-        pv = F.array(*[F.lit(float(x)) for x in r["pv"]])
-        bucket = bucket + F.when(
-            _dot(v, pv) > 0, F.lit(1 << int(r["plane_idx"])).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return df.withColumn("bucket", bucket)
+    dim = len(rows[0]["pv"]) if rows else 0
+    if _assign_mode(len(rows), dim, assign_path) == "literal":
+        v = F.col(vec_col).cast("array<double>")
+        bucket = F.lit(0).cast("long")
+        for r in rows:
+            pv = F.array(*[F.lit(float(x)) for x in r["pv"]])
+            bucket = bucket + F.when(
+                _dot(v, pv) > 0, F.lit(1 << int(r["plane_idx"])).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return df.withColumn("bucket", bucket)
+    pl = planes.select(
+        F.col("plane_idx").cast("int").alias("__pidx"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+    )
+    bits = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .join(F.broadcast(pl))
+        .select(
+            id_col,
+            F.when(
+                _dot(F.col("__v"), F.col("__pv")) > 0,
+                F.expr("shiftleft(1L, __pidx)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("__bit"),
+        )
+    )
+    # distinct powers of two: sum ≡ bitwise OR
+    bmap = bits.groupBy(id_col).agg(F.sum("__bit").alias("bucket"))
+    return df.join(bmap, on=id_col)
 
 
 def ivf_topk(
@@ -94,6 +138,7 @@ def ivf_topk(
     nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_path: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate all-pairs top-k: assign every vector
     to its ``nprobe`` highest-dot-product coarse cells (``centroids`` is a
@@ -107,58 +152,98 @@ def ivf_topk(
 
     Output: (query_id, neighbor_id, cosine, rank) for each corpus row with
     ≥1 co-cell neighbour."""
-    # centroids are tiny: bake them into the plan as literals so cell
-    # assignment is narrow in-place column algebra (array of per-cell scores
-    # → comparator sort → top-nprobe) — the r2 form paid a broadcast cross
-    # join plus a Window shuffle of N × cells rows for the same result
+    # cell-score total order: desc by score, tie-break asc cell_idx — same
+    # total order the r2 row_number() used, so results are bit-identical
+    def _cell_cmp(x, y):
+        return (
+            F.when(x["s"] > y["s"], F.lit(-1))
+            .when(x["s"] < y["s"], F.lit(1))
+            .otherwise(
+                F.when(x["cell_idx"] < y["cell_idx"], F.lit(-1))
+                .when(x["cell_idx"] > y["cell_idx"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+        )
+
     cells = sorted(
         centroids.select(
             "cell_idx", F.col(vec_col).cast("array<double>").alias("cv")
         ).collect(),
         key=lambda r: r["cell_idx"],
     )
+    dim = len(cells[0]["cv"]) if cells else 0
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("n", _norm(F.col("v")))
-    scored_cells = F.array(
-        *[
-            F.struct(
-                (
-                    _dot(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
-                    )
-                    / F.lit(
-                        float(sum(x * x for x in r["cv"]) ** 0.5)
-                    )
-                ).alias("s"),
-                F.lit(int(r["cell_idx"])).alias("cell_idx"),
+    if _assign_mode(len(cells), dim, assign_path) == "literal":
+        # the usual case — centroids are tiny: bake them into the plan as
+        # literals so cell assignment is narrow in-place column algebra
+        # (array of per-cell scores → comparator sort → top-nprobe) — the r2
+        # form paid a broadcast cross join plus a Window shuffle of
+        # N × cells rows for the same result
+        scored_cells = F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                        )
+                        / F.lit(
+                            float(sum(x * x for x in r["cv"]) ** 0.5)
+                        )
+                    ).alias("s"),
+                    F.lit(int(r["cell_idx"])).alias("cell_idx"),
+                )
+                for r in cells
+            ]
+        )
+        ranked_cells = F.array_sort(scored_cells, _cell_cmp)
+        assigned = v.select(
+            "vid",
+            "v",
+            "n",
+            F.posexplode(F.slice(ranked_cells, 1, nprobe)).alias("__pos", "__c"),
+        ).select(
+            "vid", "v", "n",
+            F.col("__c.cell_idx").alias("cell_idx"),
+            (F.col("__pos") + 1).alias("probe_rank"),
+        )
+    else:
+        # past LITERAL_BUDGET_FLOATS: broadcast-join assignment. The scores
+        # reduce the same doubles in the same order as the literal path
+        # (zip_with/aggregate is sequential, python sum(x*x) is sequential,
+        # centroid norms are per-cell scalars either way) so the chosen
+        # cells are bit-identical; the plan stays O(1) in nlist at the cost
+        # of one aggregation shuffle on vid. At 10^4+ centroids this is the
+        # only shape that compiles.
+        cent = centroids.select(
+            F.col("cell_idx").cast("int").alias("cell_idx"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ).withColumn("__cn", _norm(F.col("__cv")))
+        sc = (
+            v.join(F.broadcast(cent))
+            .select(
+                "vid", "v", "n",
+                F.struct(
+                    (_dot(F.col("v"), F.col("__cv")) / F.col("__cn")).alias("s"),
+                    F.col("cell_idx"),
+                ).alias("__sc"),
             )
-            for r in cells
-        ]
-    )
-    # desc by score, tie-break asc cell_idx — same total order the r2
-    # row_number() used, so results are bit-identical
-    ranked_cells = F.array_sort(
-        scored_cells,
-        lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
-        .when(x["s"] < y["s"], F.lit(1))
-        .otherwise(
-            F.when(x["cell_idx"] < y["cell_idx"], F.lit(-1))
-            .when(x["cell_idx"] > y["cell_idx"], F.lit(1))
-            .otherwise(F.lit(0))
-        ),
-    )
-    assigned = v.select(
-        "vid",
-        "v",
-        "n",
-        F.posexplode(F.slice(ranked_cells, 1, nprobe)).alias("__pos", "__c"),
-    ).select(
-        "vid", "v", "n",
-        F.col("__c.cell_idx").alias("cell_idx"),
-        (F.col("__pos") + 1).alias("probe_rank"),
-    )
+        )
+        agg = sc.groupBy("vid").agg(
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+            F.array_sort(F.collect_list("__sc"), _cell_cmp).alias("__rc"),
+        )
+        assigned = agg.select(
+            "vid", "v", "n",
+            F.posexplode(F.slice(F.col("__rc"), 1, nprobe)).alias("__pos", "__c"),
+        ).select(
+            "vid", "v", "n",
+            F.col("__c.cell_idx").alias("cell_idx"),
+            (F.col("__pos") + 1).alias("probe_rank"),
+        )
     a = assigned.alias("a")  # query side: probes nprobe cells
     b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # indexed in top cell
     scored = (
@@ -194,6 +279,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     hot_bucket_cap: int | None = None,
     n_salts: int = 8,
+    assign_path: str = "auto",
 ) -> DataFrame:
     """Approximate all-pairs top-k: neighbours searched within LSH bucket only.
 
@@ -209,7 +295,7 @@ def lsh_bucketed_topk(
     IDENTICAL to the unguarded plan (property-tested); only the max task
     size changes. The within-bucket candidate count is semantic (search the
     whole bucket), so the guard bounds skew, not total work."""
-    with_b = with_lsh_bucket(corpus, planes, vec_col, id_col).select(
+    with_b = with_lsh_bucket(corpus, planes, vec_col, id_col, assign_path).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
         "bucket",

@@ -663,6 +663,65 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 SQL_SIMHASH = _sql_simhash()
 
 
+def q_dedup_image_phash(spark, sf):
+    """Corpus-level near-duplicate IMAGE detection (operators/dedup.py
+    image_dup_pairs): the stored 64-bit perceptual hash (codecs/phash.py —
+    computed once at fetch time, so dedup never touches image bytes) joined
+    by the banded-Hamming pigeonhole kernel. The driver's sf tables carry no
+    image corpus, so the query derives a deterministic 60-bit stand-in
+    phash per doc_id and PLANTS a near-dup twin at EXACT Hamming 2 (two
+    distinct bit flips at id-derived positions). The engine runs the banded
+    equi-join; the DuckDB twin computes exact all-pairs Hamming — the hash
+    match is the recall proof (q_dedup_embedding pattern)."""
+    base = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("img_id"),
+        T.md5_int60(F.col("doc_id").cast("string")).alias("phash"),
+    )
+    # rename first: Spark resolves lateral aliases, so reusing the img_id
+    # name inside one select would bind the flip positions to the TWIN id
+    b2 = (
+        base.withColumnRenamed("img_id", "oid")
+        .withColumn("p1", F.pmod(F.col("oid"), F.lit(60)).cast("int"))
+        .withColumn(
+            "p2",
+            F.pmod(
+                F.col("p1") + 1 + F.pmod(F.col("oid"), F.lit(59)), F.lit(60)
+            ).cast("int"),
+        )
+    )
+    twin = b2.select(
+        (F.col("oid") + 1000000).alias("img_id"),
+        F.col("phash")
+        .bitwiseXOR(F.expr("shiftleft(1L, p1) | shiftleft(1L, p2)"))
+        .alias("phash"),
+    )
+    return D.image_dup_pairs(
+        base.unionByName(twin), "phash", "img_id", max_hamming=6
+    )
+
+
+SQL_IMAGE_PHASH = f"""
+WITH base AS (
+  SELECT doc_id AS img_id,
+         {_SQL_H.format(expr="doc_id::VARCHAR")} AS phash
+  FROM documents),
+pos AS (
+  SELECT img_id, phash,
+         CAST(img_id % 60 AS INT) AS p1,
+         CAST(((img_id % 60) + 1 + (img_id % 59)) % 60 AS INT) AS p2
+  FROM base),
+twin AS (
+  SELECT img_id + 1000000 AS nid,
+         xor(phash, (1::BIGINT << p1) | (1::BIGINT << p2)) AS nph
+  FROM pos),
+u AS (SELECT img_id, phash FROM base UNION ALL SELECT nid, nph FROM twin)
+SELECT a.img_id AS img_a, b.img_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM u a JOIN u b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding near-dup detection with PLANTED near-duplicates: each vector
     gets a twin (vec_id + 100000) perturbed by deterministic trig noise
@@ -1201,6 +1260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_image_phash": q_dedup_image_phash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
@@ -1242,6 +1302,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_dedup_jaccard": SQL_JACCARD,
     "q_dedup_minhash_lsh": SQL_MINHASH,
     "q_dedup_simhash": SQL_SIMHASH,
+    "q_dedup_image_phash": SQL_IMAGE_PHASH,
     "q_dedup_embedding": SQL_EMBED_DUP,
     "q_ann_bruteforce": SQL_ANN_BF,
     "q_ann_lsh": SQL_ANN_LSH,

@@ -198,3 +198,87 @@ def test_embedding_banded_equals_exact_at_contract_sf(spark):
     got = sorted(tuple(r) for r in banded.collect())
     want = sorted(tuple(r) for r in exact.collect())
     assert got == want
+
+
+def test_image_phash_banded_equals_pairwise(spark):
+    """image_dup_pairs over FULL-RANGE (negative included) 64-bit hashes:
+    the banded pigeonhole equi-join must equal the all-pairs reference,
+    including planted near-dup twins at Hamming ≤ 2."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 400).select(
+        F.col("id").alias("image_id"), F.xxhash64("id").alias("phash")
+    )
+    twins = spark.range(0, 400).select(
+        (F.col("id") + 10_000).alias("image_id"),
+        F.xxhash64("id")
+        .bitwiseXOR(F.expr("shiftleft(1L, cast(id % 64 as int))"))
+        .bitwiseXOR(F.expr("shiftleft(1L, cast((id * 7 + 13) % 64 as int))"))
+        .alias("phash"),
+    )
+    imgs = base.unionByName(twins)
+    banded = D.image_dup_pairs(imgs, "phash", "image_id", max_hamming=6)
+    pairwise = D.image_dup_pairs(
+        imgs, "phash", "image_id", max_hamming=6, banded=False
+    )
+    got = sorted(map(tuple, banded.collect()))
+    want = sorted(map(tuple, pairwise.collect()))
+    assert got == want
+    assert len(got) >= 400  # every planted twin found
+
+
+def test_ann_literal_guard_switches_to_broadcast(spark):
+    """Past LITERAL_BUDGET_FLOATS the IVF/LSH assignment must switch from
+    plan-baked literals to a broadcast join with HASH-IDENTICAL output and a
+    plan whose size is bounded in nlist (the literal plan grows with
+    nlist × dim and eventually fails to compile)."""
+    import paperchase_crawler_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    dim, nlist = 8, 4096
+    # 30 clusters of 10: cluster members assign to the same argmax cell, so
+    # co-cell neighbour pairs exist even with 4096 cells
+    corpus = spark.range(0, 300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.sin(F.pmod(F.col("id"), F.lit(30)) * 7 + i)
+                + 0.01 * F.sin(F.col("id") * 13 + i)
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    cents = spark.range(0, nlist).select(
+        F.col("id").alias("cell_idx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.cos(F.col("id") * 3 + i).cast("double"),
+        ).alias("embedding"),
+    )
+    assert nlist * dim > S.LITERAL_BUDGET_FLOATS  # auto must pick broadcast
+    auto = S.ivf_topk(corpus, cents, k=3, nprobe=2)
+    forced = S.ivf_topk(corpus, cents, k=3, nprobe=2, assign_path="literal")
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    plan_lit = forced._jdf.queryExecution().executedPlan().toString()
+    # bounded plan: the broadcast form carries the centroids as a broadcast
+    # relation, not as inline literals (the plan printer truncates literal
+    # arrays, so compare directionally and check the join marker)
+    assert len(plan_auto) < len(plan_lit)
+    assert "BroadcastNestedLoopJoin" in plan_auto or "BroadcastExchange" in plan_auto
+    got = sorted(map(tuple, auto.collect()))
+    want = sorted(map(tuple, forced.collect()))
+    assert got == want and len(got) > 0
+
+    # same guard on the LSH plane path (planes ≤ 63 bits but dim can be big)
+    planes = spark.range(0, 8).select(
+        F.col("id").alias("plane_idx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.cos(F.col("id") * 11 + i * 5).cast("double"),
+        ).alias("embedding"),
+    )
+    lit_b = S.with_lsh_bucket(corpus, planes, assign_path="literal")
+    brd_b = S.with_lsh_bucket(corpus, planes, assign_path="broadcast")
+    a = {r["vec_id"]: r["bucket"] for r in lit_b.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in brd_b.collect()}
+    assert a == b

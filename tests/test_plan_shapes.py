@@ -21,6 +21,7 @@ SCALE_QUERIES = [
     "q_dedup_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_image_phash",
     "q_dedup_embedding",
     "q_ann_lsh",
     "q_ann_ivf",
