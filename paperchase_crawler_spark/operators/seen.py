@@ -179,6 +179,7 @@ def filter_new_bucketed(
     shards: DataFrame,
     n_seen_buckets: int,
     key: str = "url_hash",
+    materialize=None,
 ):
     """Exact not-yet-seen filter that never scans the whole seen table.
 
@@ -196,7 +197,9 @@ def filter_new_bucketed(
 
     Returns (new_df, info) where info records the read scope for the
     crawl_log (suspect_buckets / total_buckets / files_read)."""
-    probed = bloom.probe(candidates, shards).localCheckpoint(eager=True)
+    if materialize is None:
+        materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    probed = materialize(bloom.probe(candidates, shards))
     certain_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     bucket_rows = (

@@ -172,3 +172,22 @@ def test_empty_seed_list(spark, tmp_path):
     )
     runner.init_from_seeds([])
     assert runner.run(1)[0]["n_selected"] == 0
+
+
+def test_disk_checkpoint_mode_equivalence(spark, tmp_path, oracle):
+    """checkpoint='disk' (persist DISK_ONLY + materialize — the
+    executor-loss-safe mode for real clusters, where localCheckpoint blocks
+    die with their executor) must produce the bit-identical crawl, survive
+    resume (the mode rides the checkpoint), and run Bloom mode through the
+    same materializer."""
+    wd = str(tmp_path / "dk")
+    runner = CrawlRunner(
+        spark, wd, round_budget=BUDGET, checkpoint="disk",
+        bloom=BloomSeen(n_buckets=32),
+    )
+    runner.init_from_seeds(SEEDS)
+    runner.run(1)
+    resumed = CrawlRunner.resume(spark, wd)
+    assert resumed.checkpoint == "disk"
+    resumed.run(ROUNDS - 1)
+    _assert_match(resumed, oracle)
