@@ -57,6 +57,22 @@ def _reuse(df: DataFrame, spread: bool = True) -> DataFrame:
     return ck.repartition(n)
 
 
+def _banding_diag(stage: str, df: DataFrame) -> DataFrame:
+    """Opt-in banding-recall diagnostics (set SPARK_GRAFT_BANDING_DIAG=1):
+    log a banded stage's row count to stderr. The banded jaccard/embedding
+    paths are exact BY CONSTRUCTION on the contract data (the DuckDB twin's
+    hash match proves it), but a future scale-factor bump that changes the
+    shingle-frequency cap's bite or grazes LSH planes should be DIAGNOSABLE
+    (candidate counts collapsing/exploding), not just a red hash. Costs one
+    extra count job per tagged stage, so off by default (r3 advice item)."""
+    import os as _os
+    import sys as _sys
+
+    if _os.environ.get("SPARK_GRAFT_BANDING_DIAG"):
+        print(f"[banding-diag] {stage}: {df.count()} rows", file=_sys.stderr)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact text duplicate group (md5 keyed)."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
@@ -105,7 +121,7 @@ def jaccard_pairs(
         )
     # three consumers (sizes + both self-join sides) — compute shingles once;
     # the self-join is a SHUFFLE join on shingle, so no re-spread needed
-    sh = _reuse(sh, spread=False)
+    sh = _banding_diag("jaccard.shingles_after_cap", _reuse(sh, spread=False))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,6 +133,7 @@ def jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    inter = _banding_diag("jaccard.candidate_pairs", inter)
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("n_shingles", "na")
@@ -304,14 +321,15 @@ def hamming_dup_pairs(
         )
     n_blocks = max_hamming + 1
     bounds = [i * bits // n_blocks for i in range(n_blocks + 1)]
+
+    def _block(col: F.Column, i: int) -> F.Column:
+        return F.shiftright(col, bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+
     blocks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col(hash_col), bounds[i])
-                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-                .alias("val"),
-            )
+            F.struct(F.lit(i).alias("blk"), _block(F.col(hash_col), i).alias("val"))
             for i in range(n_blocks)
         ]
     )
@@ -320,13 +338,26 @@ def hamming_dup_pairs(
     ).select(
         id_col, hash_col, F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
+    # exactly-once emission WITHOUT a distinct: a pair that matches on
+    # several blocks is kept only at its SMALLEST matching block (all
+    # earlier blocks must differ) — cheap codegen'd bit algebra in the join
+    # filter replaces a full shuffle+agg of the pair set (measured: the
+    # distinct was the single most expensive stage of the skewed simhash
+    # contract query)
+    ha, hb = F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")
+    first_match = F.lit(True)
+    for j in range(n_blocks - 1):
+        first_match = first_match & (
+            (F.col("a.blk") <= j) | (_block(ha, j) != _block(hb, j))
+        )
     a, b = ex.alias("a"), ex.alias("b")  # both sides read the checkpointed s
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col(ida) < F.col(idb)),
+            & (F.col(ida) < F.col(idb))
+            & first_match,
         )
         .select(
             F.col(ida).alias("doc_a"),
@@ -334,7 +365,6 @@ def hamming_dup_pairs(
             hx.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -454,11 +484,14 @@ def embedding_dup_pairs(
         # rows_per_band plane dot products per row — the dominant cost)
         ex = _reuse(ex)
         a, b = ex.alias("a"), ex.alias("b")
-        cand = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vid") < F.col("b.vid")),
+        cand = _banding_diag(
+            "embedding.banded_candidates",
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.code") == F.col("b.code"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            ),
         )
     return (
         cand.withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
