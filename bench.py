@@ -31,6 +31,7 @@ HEADLINE = [
     "q_dedup_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_image_phash",
     "q_ann_bruteforce",
     "q_ann_lsh",
     "q_text_quality",

@@ -36,8 +36,9 @@ duplicate traffic needs exact verification, and the verify READS only the
 seen buckets those suspects hash into (map-side broadcast semi/anti joins —
 operators/seen.filter_new_bucketed), so no round ever scans the whole seen
 set. Fetch results are checkpointed once and feed four consumers without
-re-fetch. On a real cluster replace localCheckpoint with
-persist(DISK_ONLY) and icetable with Iceberg (bucket transform + MERGE)."""
+re-fetch. Intra-round persistence is a knob (checkpoint='local'|'disk' —
+'disk' persists DISK_ONLY for executor-loss safety on a real cluster); for
+real Iceberg swap icetable (bucket transform + MERGE)."""
 
 from __future__ import annotations
 

@@ -282,3 +282,40 @@ def test_ann_literal_guard_switches_to_broadcast(spark):
     a = {r["vec_id"]: r["bucket"] for r in lit_b.collect()}
     b = {r["vec_id"]: r["bucket"] for r in brd_b.collect()}
     assert a == b
+
+
+def test_image_dup_pairs_end_to_end_with_real_phash(spark, tmp_path):
+    """Full multimodal composition: crawl a corpus (real codec bytes →
+    stored phash64), perturb each image at PIXEL level (mild brightness
+    shift — a re-encode/re-host stand-in), recompute phash64 through the
+    same codec, and image_dup_pairs must pair every perturbed copy with its
+    original while keeping distinct images apart."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.codecs import decode_image
+    from paperchase_crawler_spark.codecs.phash import phash64
+    from paperchase_crawler_spark.plans.crawl import run_crawl
+
+    runner = run_crawl(
+        spark, str(tmp_path / "c"), simweb.seed_urls(8), 2, 120,
+        frontier_buckets=4,
+    )
+    corpus = runner.corpus_df().select("image_id", "bytes", "fmt", "phash").collect()
+    assert len(corpus) >= 10
+    rows = []
+    for r in corpus:
+        rows.append((r["image_id"], int(r["phash"])))
+        rgb = decode_image(bytes(r["bytes"]), r["fmt"])
+        bright = np.clip(rgb.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+        rows.append((r["image_id"] + "#copy", phash64(bright)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = D.image_dup_pairs(df, "phash", "image_id", max_hamming=8)
+    got = {(a, b) for a, b, _ in pairs.collect()}
+    for r in corpus:
+        orig, copy = r["image_id"], r["image_id"] + "#copy"
+        pair = (orig, copy) if orig < copy else (copy, orig)
+        assert pair in got, f"perturbed copy of {orig} not detected"
+    # distinct images stay apart: pair count stays near the planted count
+    assert len(got) < len(corpus) * 2
