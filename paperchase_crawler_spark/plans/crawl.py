@@ -607,6 +607,9 @@ class CrawlRunner:
         if n_selected == 0:
             self.round = r
             self._commit_checkpoint()
+            for df in self._round_persists:  # disk mode: free the round's blocks
+                df.unpersist(blocking=False)
+            self._round_persists.clear()
             return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
 
         _mark("fetch_meta")

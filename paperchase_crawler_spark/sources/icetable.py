@@ -123,7 +123,21 @@ class IceTable:
         os.replace(vtmp, self._version_file())  # atomic pointer swap, LAST
         return sid
 
+    def _reject_plain_op_on_bucketed(self, op: str) -> None:
+        """A plain append/overwrite on a manifest-bucketed table would
+        commit a snapshot WITHOUT buckets metadata — readers of bucket_plan/
+        summaries would start raising and the MoR merge contract silently
+        breaks. Bucketed tables must use the bucketed ops."""
+        snap = self.snapshot()
+        if snap and "buckets" in snap["meta"]:
+            raise ValueError(
+                f"icetable {self.path}: plain {op}() on a bucketed table — "
+                "use append_bucketed_delta / overwrite_bucketed / "
+                "overwrite_buckets_partial"
+            )
+
     def append(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+        self._reject_plain_op_on_bucketed("append")
         parent = self.snapshot()
         files, counts = self._write_data(df, self._next_sid())
         if parent:
@@ -132,6 +146,7 @@ class IceTable:
         return self._commit("append", files, counts, meta)
 
     def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
+        self._reject_plain_op_on_bucketed("overwrite")
         files, counts = self._write_data(df, self._next_sid())
         return self._commit("overwrite", files, counts, meta)
 

@@ -317,6 +317,14 @@ sessions measured 2→8 efficiency 0.946 vs 0.796 from one burst landing in
 one level's window; best-of-N is symmetric across levels and the per-repeat
 t_round spreads below keep the noise floor visible), identical input.
 
+CPU PINNING (round-4 protocol): each level's whole process tree (JVM +
+forked Python workers) runs under `taskset -c 0-(N-1)`, and the
+bare-multiprocessing ceiling kernel pins via sched_setaffinity — the
+criterion is "N and 4N CORES", and an unpinned local[N] gives the JVM's
+helper threads (Arrow IPC, shuffle, GC) free extra cores, inflating low-N
+throughput (measured: unpinned local[2] image stage at 107% of the 2-proc
+ceiling) and understating true scaling.
+
 | level | frontier URLs/sec | images/sec | t_select | t_fetch_meta | t_fetch_imgs | t_expand_seen | t_round | bloom_build* | hw ceiling imgs/s** |
 |---|---|---|---|---|---|---|---|---|---|
 {rows_tbl}
