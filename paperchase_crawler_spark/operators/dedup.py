@@ -503,3 +503,79 @@ def embedding_dup_pairs(
         )
         .distinct()
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_id) for every
+    id appearing in ``pairs``, cluster_id = the minimum id in the connected
+    component. This is the step a real training-data dedup pipeline needs
+    after any pair generator (exact / minhash / simhash / image phash /
+    embedding): transitive closure so "keep one representative per
+    component" is well-defined — pairs alone under-delete chained
+    duplicates (A~B, B~C must collapse to one survivor, not two).
+
+    Algorithm: distributed min-label propagation (the classic iterative
+    connected-components shape): every node starts labeled with itself; each
+    round every node takes the min of its own label and its neighbours'
+    labels; stop when no label changed. Converges in O(component diameter)
+    rounds — near-dup components are cliquish (diameter ≲ 3) so this is
+    2-4 rounds in practice. Per round: one shuffle join on the edge key +
+    one aggregation — both scale-shaped; labels are re-materialized each
+    round (localCheckpoint) so the iterative lineage never compounds. At
+    10^10 ids the same loop runs with persist(DISK_ONLY) and the standard
+    large-star/small-star optimization halves round count; the semantics
+    here are the contract."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = _reuse(
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        spread=False,
+    )
+    labels = sym.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    labels = _reuse(labels, spread=False)
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("cluster_id").alias("nb_label"),
+                ),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(
+                nb_min.withColumnRenamed("a", "doc_id"), on="doc_id", how="left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = _reuse(new_labels, spread=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} iterations — component "
+        "diameter exceeds the bound; raise max_iter"
+    )

@@ -722,6 +722,44 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 6
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup pair → CLUSTER resolution (operators/dedup.py dup_clusters):
+    distributed connected components by iterative min-label propagation —
+    the transitive-closure step every dedup family needs so keep-one-per-
+    component is well-defined (A~B, B~C collapses to ONE survivor). Pairs
+    here are deterministic chains over documents (doc_id ↔ doc_id+1 except
+    across multiples of 5 → components of 5 with diameter 4, forcing real
+    multi-round propagation); the DuckDB twin computes the same components
+    with a recursive CTE — exact transitive closure, so the hash match
+    proves the propagation converged to true component minima."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.pmod(F.col("a.doc_id"), F.lit(5)) != 4)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return D.dup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 5 != 4),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+cc(doc_id, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+  UNION
+  SELECT e.a, cc.lab FROM e JOIN cc ON cc.doc_id = e.b
+)
+SELECT doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY doc_id
+"""
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding near-dup detection with PLANTED near-duplicates: each vector
     gets a twin (vec_id + 100000) perturbed by deterministic trig noise
@@ -1261,6 +1299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_image_phash": q_dedup_image_phash,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding": q_dedup_embedding,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
@@ -1303,6 +1342,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_dedup_minhash_lsh": SQL_MINHASH,
     "q_dedup_simhash": SQL_SIMHASH,
     "q_dedup_image_phash": SQL_IMAGE_PHASH,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_dedup_embedding": SQL_EMBED_DUP,
     "q_ann_bruteforce": SQL_ANN_BF,
     "q_ann_lsh": SQL_ANN_LSH,

@@ -319,3 +319,76 @@ def test_image_dup_pairs_end_to_end_with_real_phash(spark, tmp_path):
         assert pair in got, f"perturbed copy of {orig} not detected"
     # distinct images stay apart: pair count stays near the planted count
     assert len(got) < len(corpus) * 2
+
+
+def test_dup_clusters_equals_union_find(spark):
+    """dup_clusters (iterative min-label propagation) must equal a plain
+    union-find on a seeded random graph — including multi-hop chains,
+    isolated pairs, and star shapes."""
+    import random
+
+    from paperchase_crawler_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(7)
+    n = 400
+    edges = set()
+    for _ in range(260):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # force a long chain (diameter stress) and a star
+    edges |= {(i, i + 1) for i in range(300, 312)}
+    edges |= {(350, x) for x in range(351, 360)}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {x for e in edges for x in e}
+    want = {x: find(x) for x in members}
+    pairs = spark.createDataFrame(
+        sorted(edges), "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == want
+
+
+def test_dup_clusters_composes_with_image_pairs(spark):
+    """End-to-end keep-one-per-component: image near-dup pairs → clusters →
+    exactly one survivor per connected set of near-identical images."""
+    from pyspark.sql import functions as F
+
+    from paperchase_crawler_spark.operators.dedup import dup_clusters
+
+    base = spark.range(0, 120).select(
+        F.col("id").alias("image_id"), F.xxhash64("id").alias("phash")
+    )
+    # two perturbed generations of each image: A~B and A~C (B~C within 4)
+    gen = lambda off, p1, p2: spark.range(0, 120).select(
+        (F.col("id") + off).alias("image_id"),
+        F.xxhash64("id")
+        .bitwiseXOR(F.expr(f"shiftleft(1L, cast((id * 3 + {p1}) % 64 as int))"))
+        .bitwiseXOR(F.expr(f"shiftleft(1L, cast((id * 5 + {p2}) % 64 as int))"))
+        .alias("phash"),
+    )
+    imgs = base.unionByName(gen(1000, 1, 7)).unionByName(gen(2000, 2, 11))
+    pairs = D.image_dup_pairs(imgs, "phash", "image_id", max_hamming=6)
+    clusters = dup_clusters(pairs, "img_a", "img_b").collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    # every original id 0..119 roots a component holding its two twins
+    for i in range(120):
+        assert {i, i + 1000, i + 2000} <= by_cluster[i]
+    survivors = set(by_cluster)  # keep-one = the cluster ids
+    assert len(survivors) <= 121  # ~one per planted component
