@@ -526,6 +526,19 @@ class CrawlRunner:
     # -- one round --------------------------------------------------------------
 
     def run_round(self) -> dict[str, Any]:
+        # disk-mode persists must be freed on EVERY exit — including the
+        # mid-round HWM RuntimeError, whose whole purpose is to be raised and
+        # resumed from: without the finally, each abort/resume cycle would
+        # pin the aborted round's DISK_ONLY blocks on executor disk until a
+        # later successful round happened to clear the list (r4 advice).
+        try:
+            return self._run_round_body()
+        finally:
+            for df in self._round_persists:
+                df.unpersist(blocking=False)
+            self._round_persists.clear()
+
+    def _run_round_body(self) -> dict[str, Any]:
         import time as _time
 
         r = self.round + 1
@@ -607,9 +620,6 @@ class CrawlRunner:
         if n_selected == 0:
             self.round = r
             self._commit_checkpoint()
-            for df in self._round_persists:  # disk mode: free the round's blocks
-                df.unpersist(blocking=False)
-            self._round_persists.clear()
             return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
 
         _mark("fetch_meta")
@@ -762,6 +772,25 @@ class CrawlRunner:
             # replacement rows — fetched carries every frontier column
             # through the pipeline) + the round's new discoveries.
             # O(changed), never a full-table rewrite; MoR resolves by __rev.
+            #
+            # Second HWM check, immediately before the only disc_seq-bearing
+            # append (the first, below the commit closures, aborts before ANY
+            # table commit): the guard is check-then-act, so this narrows —
+            # but does not close — the race window against an ingest epoch
+            # landing between the check and the append. Closing it would need
+            # a commit-time CAS on next_disc_seq; co-executing a
+            # processingTime ingest with a live round is unsupported (the
+            # module contract says BETWEEN rounds), so the guard is
+            # best-effort crash-loud detection, not a concurrency primitive.
+            hwm = self._frontier_disc_hwm()
+            if hwm > hwm_at_start:
+                raise RuntimeError(
+                    f"concurrent ingest advanced the disc_seq high-water mark "
+                    f"mid-round ({hwm_at_start} → {hwm}) at frontier-commit "
+                    "time; co-executing ingest with a live round is "
+                    "unsupported — run ingest between rounds (availableNow). "
+                    "resume() rolls this round back and replays it safely."
+                )
             updated = (
                 fetched.select(
                     "canon_url", "url_hash", "host", "depth", "disc_seq",
@@ -792,7 +821,11 @@ class CrawlRunner:
         # moved mark BEFORE any disc_seq-bearing table commits and fail stop:
         # the round's ordering/corpus appends (no disc_seqs) are
         # post-checkpoint garbage that CrawlRunner.resume() rolls back, so
-        # the round replays cleanly after the ingest quiesces.
+        # the round replays cleanly after the ingest quiesces. This check —
+        # and the re-check inside _commit_frontier right before the append —
+        # is check-then-act: it shrinks the race window to microseconds but
+        # cannot close it without a commit-time CAS; it is crash-loud
+        # detection for a violated composition contract, not a lock.
         hwm_now = self._frontier_disc_hwm()
         if hwm_now > hwm_at_start:
             raise RuntimeError(
@@ -827,9 +860,6 @@ class CrawlRunner:
         # snapshot still see n_selected/n_new/pruning/seen scope)
         self.crawl_log.commit_empty(meta={**round_meta, "phase_sec": _t})
         self._commit_checkpoint()
-        for df in self._round_persists:  # disk mode: free the round's blocks
-            df.unpersist(blocking=False)
-        self._round_persists.clear()
         return {
             "round": r,
             "n_selected": n_selected,

@@ -17,6 +17,16 @@ in its snapshot meta and a replayed epoch (foreachBatch redelivers after
 crashes) is skipped per table — so frontier and seen each apply an epoch at
 most once, in any crash/replay interleaving.
 
+COMMIT ORDER IS LOAD-BEARING: frontier → bloom_shards → seen. The epoch's
+key set is derived by anti-joining against the CURRENT seen table, so the
+seen commit must come LAST: every earlier crash window replays against a
+seen table the epoch has not touched and recomputes the same keys. Putting
+bloom before seen also keeps the crawl's hard invariant seen ⊆ bloom true in
+EVERY window — a crash between them leaves extra bloom keys (harmless false
+positives), never seen keys missing from bloom. (The r4 order seen → bloom
+had a corrupting window: crash after the seen commit made the replay's
+anti-join return zero keys, permanently skipping the bloom append.)
+
 disc_seq: the stream source must carry a unique ``src_seq long`` (arrival
 order); each epoch's new URLs get contiguous disc_seq from the frontier
 snapshot's persisted ``next_disc_seq`` high-water mark, ranked by src_seq —
@@ -75,6 +85,58 @@ def _epoch_meta(tbl: IceTable, epoch_id: int, extra: dict | None = None) -> dict
     return meta
 
 
+def _crawl_checkpoint(tbl: IceTable) -> dict | None:
+    """The composed CrawlRunner's atomic checkpoint, when ``tbl`` lives in a
+    crawl workdir (<workdir>/<table>); None for standalone ingest tables."""
+    ckpt = os.path.join(os.path.dirname(tbl.path.rstrip("/")), "CHECKPOINT")
+    try:
+        with open(ckpt) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _require_tip_adoptable(tbl: IceTable, name: str) -> None:
+    """Refuse to commit an ingest epoch on top of CRASH GARBAGE: if the
+    table's current tip is post-checkpoint history that is not itself
+    ingest-tagged, a crawl round committed but crashed before its CHECKPOINT
+    swap. CrawlRunner.resume() will roll that garbage back — and an ingest
+    snapshot whose parent chain passes THROUGH garbage is not reachable from
+    the checkpoint target, so resume would roll the committed epoch back too,
+    after the stream checkpoint already recorded it (permanent loss). The
+    adoption contract (resume follows tagged children by parent chain) is
+    only sound because this guard stops ingest from ever building on an
+    unadoptable tip: run CrawlRunner.resume() first, then re-run the feed."""
+    state = _crawl_checkpoint(tbl)
+    if state is None:
+        return
+    target = state.get("snapshots", {}).get(name, -1)
+    if target == -1:
+        return
+    sid = tbl.current_snapshot_id()
+    while sid != target:
+        if sid is None:
+            # chain bottomed out without reaching the checkpointed snapshot —
+            # the table was recreated/rolled past it; unadoptable either way
+            raise ValueError(
+                f"ingest refused: {name} tip does not descend from the crawl "
+                f"checkpoint snapshot {target} — resume the crawl first"
+            )
+        snap = tbl.snapshot(sid)
+        if "ingest_epochs" not in snap["meta"]:
+            raise ValueError(
+                f"ingest refused: {name} tip (snapshot {sid}) is uncommitted "
+                "crash garbage — a crawl round committed table snapshots but "
+                "died before its CHECKPOINT swap. An ingest epoch committed "
+                "on top would be stranded on the garbage parent chain and "
+                "rolled back by CrawlRunner.resume() AFTER the stream "
+                "checkpoint recorded it (permanent loss). Run "
+                "CrawlRunner.resume() to roll the garbage back, then re-run "
+                "the ingest feed."
+            )
+        sid = snap["parent"]
+
+
 def _require_bloom_when_crawl_uses_it(frontier: IceTable, bloom) -> None:
     """Hard invariant (not a convention): a Bloom-enabled CrawlRunner relies
     on seen-keys ⊆ bloom — ``filter_new_bucketed`` treats a non-suspect as
@@ -87,11 +149,8 @@ def _require_bloom_when_crawl_uses_it(frontier: IceTable, bloom) -> None:
     checkpoint (frontier lives at <workdir>/frontier) and refuse."""
     if bloom is not None:
         return
-    ckpt = os.path.join(os.path.dirname(frontier.path.rstrip("/")), "CHECKPOINT")
-    try:
-        with open(ckpt) as f:
-            state = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
+    state = _crawl_checkpoint(frontier)
+    if state is None:
         return
     if state.get("bloom"):
         raise ValueError(
@@ -136,6 +195,10 @@ def ingest_batch(
     seen-keys ⊆ filter invariant filter_new_bucketed's certainly-new fast
     path depends on. Feeding a Bloom-enabled crawl WITHOUT these raises."""
     _require_bloom_when_crawl_uses_it(frontier, bloom)
+    _require_tip_adoptable(frontier, "frontier")
+    _require_tip_adoptable(seen, "seen")
+    if bloom_shards is not None:
+        _require_tip_adoptable(bloom_shards, "bloom_shards")
     if (
         _epoch_already_applied(frontier, epoch_id)
         and _epoch_already_applied(seen, epoch_id)
@@ -200,15 +263,11 @@ def ingest_batch(
             ),
             zone_fn=lambda files: compute_frontier_zones(spark, files, max_tokens),
         )
-    if not _epoch_already_applied(seen, epoch_id) and n_new:
-        seen.append_bucketed_delta(
-            rows.select("url_hash")
-            .withColumn(
-                "__fb", F.pmod(F.col("url_hash"), F.lit(seen_buckets)).cast("int")
-            )
-            .repartition(seen_buckets, F.col("__fb")),
-            meta=_epoch_meta(seen, epoch_id),
-        )
+    # bloom BEFORE seen (module docstring "COMMIT ORDER IS LOAD-BEARING"):
+    # the epoch's keys come from anti-joining the CURRENT seen table, so as
+    # long as seen commits last, every crash replay recomputes the same key
+    # set — and seen ⊆ bloom holds in every window (a crash between the two
+    # leaves extra bloom keys: harmless false positives, never corruption)
     if (
         bloom is not None
         and n_new
@@ -228,6 +287,15 @@ def ingest_batch(
             bloom_shards.append_bucketed_delta(
                 shards, meta=_epoch_meta(bloom_shards, epoch_id)
             )
+    if not _epoch_already_applied(seen, epoch_id) and n_new:
+        seen.append_bucketed_delta(
+            rows.select("url_hash")
+            .withColumn(
+                "__fb", F.pmod(F.col("url_hash"), F.lit(seen_buckets)).cast("int")
+            )
+            .repartition(seen_buckets, F.col("__fb")),
+            meta=_epoch_meta(seen, epoch_id),
+        )
     return {"epoch": epoch_id, "n_new": n_new, "replayed": False}
 
 

@@ -191,3 +191,43 @@ def test_disk_checkpoint_mode_equivalence(spark, tmp_path, oracle):
     assert resumed.checkpoint == "disk"
     resumed.run(ROUNDS - 1)
     _assert_match(resumed, oracle)
+
+
+def test_disk_mode_unpersists_on_midround_abort(spark, tmp_path):
+    """checkpoint='disk': a round that ABORTS (here: the mid-round ingest
+    HWM guard, whose purpose is to be raised and resumed from) must still
+    free its DISK_ONLY blocks — without the try/finally each abort/resume
+    cycle pinned the aborted round's persists on executor disk until a later
+    successful round happened to clear the list (r4 advice)."""
+    from paperchase_crawler_spark.streaming.frontier_ingest import ingest_batch
+
+    wd = str(tmp_path / "dka")
+    runner = CrawlRunner(
+        spark, wd, round_budget=BUDGET, checkpoint="disk", with_bytes=False
+    )
+    runner.init_from_seeds(SEEDS)
+    runner.run(1)
+    orig_append = runner.ordering.append
+
+    def hooked(df, meta=None):
+        ingest_batch(
+            spark,
+            spark.createDataFrame(
+                [("https://host0.example/mid", 1)], "raw_url string, src_seq long"
+            ),
+            runner.frontier, runner.seen, epoch_id=21,
+            n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+            robots_rules_df=runner.host_state.read(spark).select(
+                "host", "robots_rules"
+            ),
+        )
+        return orig_append(df, meta=meta)
+
+    runner.ordering.append = hooked
+    with pytest.raises(RuntimeError, match="mid-round"):
+        runner.run_round()
+    assert runner._round_persists == []  # freed by the finally, not leaked
+    runner.ordering.append = orig_append
+    resumed = CrawlRunner.resume(spark, wd)
+    resumed.run_round()
+    assert resumed._round_persists == []

@@ -414,3 +414,102 @@ def test_midround_ingest_fails_stop_and_resumes(spark, tmp_path):
     assert len(seqs) == len(set(seqs))  # no disc_seq overlap
     urls = {row["canon_url"] for row in fr}
     assert "https://host0.example/raced" in urls
+
+
+def test_ingest_bloom_crash_window_preserves_seen_subset_bloom(spark, tmp_path):
+    """The only remaining crash window between probabilistic-filter and seen
+    commits is AFTER bloom, BEFORE seen (commit order frontier → bloom →
+    seen). In that window — and after the replay completes — every seen key
+    must be a bloom suspect (seen ⊆ bloom). The r4 order (seen first) had a
+    corrupting window: the replay's anti-join against the already-updated
+    seen table returned zero keys and the bloom append was skipped forever."""
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.operators.seen import BloomSeen
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+
+    wd = str(tmp_path / "bw")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4,
+        bloom=BloomSeen(n_buckets=16, m_bits=1 << 12, k=5),
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    batch = spark.createDataFrame(
+        [("https://host0.example/window-page", 1)], "raw_url string, src_seq long"
+    )
+    seen_pre = runner.seen.current_snapshot_id()
+    kw = dict(
+        n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+        bloom=runner.bloom, bloom_shards=runner.bloom_shards,
+        bloom_shard_groups=runner.bloom_shard_groups,
+    )
+    ingest_batch(spark, batch, runner.frontier, runner.seen, epoch_id=2, **kw)
+
+    def _seen_subset_bloom():
+        keys = runner.seen.read(spark)
+        shards = runner.bloom_shards.read(spark)
+        suspects = runner.bloom.probe(keys, shards).filter("maybe_seen")
+        assert suspects.count() == keys.count()
+
+    # simulate the crash window: roll seen back to pre-epoch (bloom + frontier
+    # committed, seen not) — the invariant must hold IN the window...
+    runner.seen.rollback(seen_pre)
+    _seen_subset_bloom()
+    # ...and the replay must complete the seen append without touching bloom
+    b_snap = runner.bloom_shards.current_snapshot_id()
+    r = ingest_batch(spark, batch, runner.frontier, runner.seen, epoch_id=2, **kw)
+    assert r["replayed"] is False and r["n_new"] == 1
+    assert runner.bloom_shards.current_snapshot_id() == b_snap
+    _seen_subset_bloom()
+    k = runner.seen.read(spark).filter(
+        F.col("url_hash") == F.xxhash64(F.lit("https://host0.example/window-page"))
+    )
+    assert k.count() == 1
+
+
+def test_ingest_refuses_crash_garbage_tip(spark, tmp_path):
+    """A round that committed table snapshots but crashed BEFORE its
+    CHECKPOINT swap leaves an untagged post-checkpoint tip. Ingest must
+    refuse to commit on top of it: an epoch stranded on the garbage parent
+    chain would be rolled back by resume() after the stream checkpoint
+    recorded it — permanent loss. After resume() rolls the garbage back, the
+    same feed lands cleanly."""
+    import pytest
+
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+    from paperchase_crawler_spark.schemas import FRONTIER
+
+    wd = str(tmp_path / "garbage-tip")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    # crash garbage: an untagged post-checkpoint frontier delta, NOT rolled
+    # back (the crashed process never resumed)
+    garbage = spark.createDataFrame(
+        [("https://host0.example/half-round", 777, "host0.example",
+          1, 10_000, -1.0, "queued", 2, None)],
+        FRONTIER,
+    )
+    runner._frontier_append_delta(garbage, meta={"round": 99})
+    garbage_snap = runner.frontier.current_snapshot_id()
+    batch = spark.createDataFrame(
+        [("https://host0.example/feed", 1)], "raw_url string, src_seq long"
+    )
+    with pytest.raises(ValueError, match="crash garbage"):
+        ingest_batch(
+            spark, batch, runner.frontier, runner.seen, epoch_id=4,
+            n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+        )
+    assert runner.frontier.current_snapshot_id() == garbage_snap  # no commit
+    resumed = CrawlRunner.resume(spark, wd)  # rolls the garbage back
+    r = ingest_batch(
+        spark, batch, resumed.frontier, resumed.seen, epoch_id=4,
+        n_buckets=resumed.frontier_buckets, seen_buckets=resumed.seen_buckets,
+    )
+    assert r["n_new"] == 1
+    urls = {row["canon_url"] for row in merged_frontier(spark, resumed.frontier).collect()}
+    assert "https://host0.example/feed" in urls
+    assert "https://host0.example/half-round" not in urls
