@@ -15,10 +15,79 @@ text; candidate pairs are verified locally per key group. Skewed shingles
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_int60, word_kgrams
+
+# Intra-query materialization mode for the whole dedup/similarity suite —
+# the same knob CrawlRunner exposes as checkpoint='local'|'disk' (r4 landed
+# it for the crawl loop only; a cluster user running THIS suite had to edit
+# source for executor-loss safety). "local" = localCheckpoint: fastest, but
+# blocks live only in executor local stores and die with the executor.
+# "disk" = persist(StorageLevel.DISK_ONLY) + eager materialize: survives
+# executor loss at the cost of writing through the block manager. Module
+# level (not a per-call kwarg) because every operator here funnels reused
+# intermediates through _reuse and threading a parameter through five
+# public APIs would churn every call site for one deployment-wide choice.
+_MATERIALIZE_MODE = "local"
+_CHECKPOINT_DIR: str | None = None
+_PERSISTED: list[DataFrame] = []
+
+
+def set_materialize_mode(mode: str, checkpoint_dir: str | None = None) -> None:
+    """Set 'local' (default) or 'disk' — see _MATERIALIZE_MODE above.
+
+    In disk mode, pass ``checkpoint_dir`` (an HDFS/object-store path on a
+    real cluster) to use RELIABLE ``df.checkpoint()`` — a true lineage cut
+    that survives executor loss. Without a dir, disk mode falls back to
+    persist(DISK_ONLY): the data is loss-safe but the LOGICAL PLAN keeps
+    its full lineage, which is fine for the one-shot operators here but
+    compounds exponentially under iteration — dup_clusters therefore
+    REQUIRES the checkpoint dir in disk mode (measured: the persist-only
+    loop OOMs Catalyst analysis after ~8 self-joining rounds). Persists
+    accumulate until unpersist_materialized(); checkpoint files accumulate
+    under the dir (clean with spark.cleaner.referenceTracking.cleanCheckpoints
+    or by removing the dir after the job)."""
+    global _MATERIALIZE_MODE, _CHECKPOINT_DIR
+    if mode not in ("local", "disk"):
+        raise ValueError("materialize mode must be 'local' or 'disk'")
+    _MATERIALIZE_MODE = mode
+    _CHECKPOINT_DIR = checkpoint_dir
+
+
+def unpersist_materialized(blocking: bool = False) -> int:
+    """Free every disk-mode persist created since the last call. Returns the
+    number of DataFrames unpersisted (0 when reliable checkpoints or local
+    mode carried everything)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist(blocking=blocking)
+    _PERSISTED.clear()
+    return n
+
+
+def _reliable_ckpt_ready(df: DataFrame) -> bool:
+    sc = df.sparkSession.sparkContext
+    if _CHECKPOINT_DIR is not None:
+        if sc.getCheckpointDir() != _CHECKPOINT_DIR:
+            sc.setCheckpointDir(_CHECKPOINT_DIR)
+        return True
+    return sc.getCheckpointDir() is not None
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage + materialize once, per the module materialize mode."""
+    if _MATERIALIZE_MODE == "disk":
+        if _reliable_ckpt_ready(df):
+            return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()
+        _PERSISTED.append(out)
+        return out
+    return df.localCheckpoint(eager=True)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -48,9 +117,9 @@ def _reuse(df: DataFrame, spread: bool = True) -> DataFrame:
     task, 3.5 s → 0.4 s once spread). For SHUFFLE-join consumers pass
     spread=False — the join re-shuffles by its key anyway and the extra
     round-robin exchange only costs (measured on jaccard: 3.3 s → 2.0 s).
-    Cluster note: swap localCheckpoint for persist(StorageLevel.DISK_ONLY)
-    if executor loss matters."""
-    ck = df.localCheckpoint(eager=True)
+    Cluster note: set_materialize_mode('disk') switches the whole suite to
+    persist(DISK_ONLY) when executor loss matters."""
+    ck = _materialize(df)
     if not spread:
         return ck
     n = df.sparkSession.sparkContext.defaultParallelism
@@ -107,21 +176,30 @@ def jaccard_pairs(
     ``max_doc_freq`` drops ubiquitous shingles before the self-join (the skew
     defense at scale: a shingle in f docs contributes f² join rows).
     """
-    sh = shingle_table(_spread(df), text_col, id_col, k)
+    # compute shingles ONCE (the k-gram fan-out dominates the query), then
+    # every consumer — freq counting, both self-join sides, sizes — rereads
+    # the checkpoint; the self-join is a SHUFFLE join on shingle, so no
+    # re-spread needed
+    sh = _reuse(shingle_table(_spread(df), text_col, id_col, k), spread=False)
     if max_doc_freq is not None:
-        # doc-frequency via an unordered window over shingle: one shuffle,
-        # no recompute of the shingle plan for a join-back, and the hot
-        # shingle costs f rows in one task instead of the f² join rows the
-        # cap exists to prevent
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__f", F.count("*").over(w))
-            .filter(F.col("__f") <= max_doc_freq)
-            .drop("__f")
+        # doc frequency via groupBy + broadcast ANTI-join of the over-cap
+        # shingles. groupBy does MAP-SIDE PARTIAL aggregation: the hottest
+        # shingle shuffles one partial count per input partition, never its
+        # f rows — the r4 Window.partitionBy("shingle") form put ALL f rows
+        # of a hot shingle in ONE task (windows can't partial-aggregate), so
+        # at web scale the cap STAGE itself was the straggler/OOM the cap
+        # exists to prevent (f ~ corpus size for boilerplate shingles). The
+        # over-cap list is tiny by definition — shingles whose doc-freq
+        # exceeds the cap are the extreme head of the frequency curve — so
+        # the anti-join is a broadcast with zero extra shuffle on sh.
+        over = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .filter(F.col("__f") > max_doc_freq)
+            .select("shingle")
         )
-    # three consumers (sizes + both self-join sides) — compute shingles once;
-    # the self-join is a SHUFFLE join on shingle, so no re-spread needed
-    sh = _banding_diag("jaccard.shingles_after_cap", _reuse(sh, spread=False))
+        sh = sh.join(F.broadcast(over), on="shingle", how="left_anti")
+    sh = _banding_diag("jaccard.shingles_after_cap", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -196,7 +274,7 @@ def minhash_lsh_pairs(
     # ONE band-exploded equi-join on (band, bucket) instead of a union of
     # per-band self-joins: the union form recomputes the signature plan 2×
     # per band (2×bands scans of the corpus); this computes it once per join
-    # side and shuffles only (band, bucket, doc_id)
+    # side and shuffles only (band, bucket, doc_id, signature)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -210,31 +288,57 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    hcols = [f"h{i}" for i in range(n_hashes)]
+    # the full signature rides along (n_hashes longs per exploded row) so the
+    # join filter can evaluate EARLIER bands' equality — the first-match
+    # exactly-once trick from the Hamming kernel: a pair colliding in
+    # several bands is emitted only at its SMALLEST matching band (all
+    # earlier bands must differ in ≥1 hash), replacing the trailing
+    # pair-set .distinct() — a full shuffle+agg of the candidate set, and
+    # with skewed buckets its most expensive stage — with codegen'd long
+    # compares in the join condition.
     banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "doc_id", *hcols, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", *hcols,
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
     # both self-join sides reuse ONE signature computation (the md5 fan-out
     # dominates the query; without this the broadcast side recomputes it)
     banded = _reuse(banded)
+    first_match = F.lit(True)
+    for b in range(bands - 1):
+        differs = F.lit(False)
+        for j in range(rows_per_band):
+            h = f"h{b * rows_per_band + j}"
+            differs = differs | (F.col(f"l.{h}") != F.col(f"r.{h}"))
+        first_match = first_match & ((F.col("l.band") <= b) | differs)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & first_match,
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit simhash over distinct word unigrams.
+SIMHASH_BITS = 60
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): ``bits``-wide simhash over distinct word unigrams.
 
     Bit j of each word's md5-int votes ±1; simhash bit j = majority vote.
-    32 bits (not 64) so the per-bit extraction stays portable SQL. Hot path:
-    explode words → groupBy doc × popcount algebra, all JVM-side.
+    Default 60 bits — everything md5_int60 yields — because the banded
+    join's key width scales WITH the hash width (see hamming_dup_pairs):
+    the r1-r4 32-bit form capped the candidate-join key space at a constant
+    regardless of corpus size. 60 stays a positive BIGINT in ANSI SQL, so
+    the DuckDB twin is exact. Hot path: explode words → groupBy doc ×
+    popcount algebra, all JVM-side.
     """
     w = df.select(
         F.col(id_col).alias("doc_id"),
@@ -244,11 +348,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.sum(
             F.when(F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     agg = w.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for j in range(32):
+    for j in range(bits):
         sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
     return agg.select("doc_id", sim.alias("simhash"))
 
@@ -259,23 +363,56 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     banded: bool = True,
+    n_blocks: int = 5,
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by 60-bit simhash Hamming distance ≤ max_hamming.
 
-    Default (``banded=True``) is the scale path: split the 32-bit hash into
-    ``max_hamming + 1`` bit blocks — by pigeonhole, Hamming ≤ max_hamming
-    implies at least one block is EQUAL — equi-join per block on
-    (block_idx, block_value), then verify exact Hamming and distinct the
-    pairs. Identical output to the pairwise form (property-tested), but the
-    join is a shuffled equi-join on the block key, never a cartesian.
+    Default (``banded=True``) is the scale path — the Manku-style
+    combination-key pigeonhole equi-join (see hamming_dup_pairs): with the
+    defaults (60-bit hash, 5 blocks, h=3) candidates join on a 24-bit
+    combination key iterated over C(5,3)=10 block combinations — key space
+    ~10×2²⁴, growing with the hash width, vs the r4 single-block form's
+    constant 4×2⁸. Identical output to the pairwise form (property-tested).
 
     ``banded=False`` keeps the O(N²) pairwise reference (oracle-scale only).
     """
     s = _reuse(simhash64(_spread(df), text_col, id_col))
     return hamming_dup_pairs(
-        s, "simhash", "doc_id", bits=32, max_hamming=max_hamming,
-        banded=banded, reused=True,
+        s, "simhash", "doc_id", bits=SIMHASH_BITS, max_hamming=max_hamming,
+        banded=banded, reused=True, n_blocks=n_blocks,
     )
+
+
+def _hamming_combos(bits: int, max_hamming: int, n_blocks: int):
+    """The Manku-style banding layout for a ``bits``-wide hash: block bit
+    bounds + every C(n_blocks, n_blocks - max_hamming) combination of
+    ``n_blocks - max_hamming`` blocks, in lexicographic order. By pigeonhole
+    a pair at Hamming ≤ h differs in at most h blocks, hence AGREES on some
+    (n_blocks − h)-subset — so equi-joining on each combo's concatenated
+    block values has exact recall, and the key width is
+    bits·(n_blocks−h)/n_blocks, growing with the hash instead of shrinking
+    (the r1-r4 special case n_blocks = h+1 keyed on ONE block: constant
+    ~2^(bits/(h+1)) values no matter the corpus size — at 10^9+ rows every
+    bucket saturates and the in-bucket verify trends quadratic)."""
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming (pigeonhole)")
+    bounds = [i * bits // n_blocks for i in range(n_blocks + 1)]
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    return bounds, combos
+
+
+def banded_key_space(bits: int, max_hamming: int, n_blocks: int) -> int:
+    """Number of distinct (combo_idx, key_value) join keys the banded plan
+    can produce — the quantity that must GROW with ``bits`` for the
+    "bucketed, not all-pairs" property to survive a corpus-size scale-up."""
+    bounds, combos = _hamming_combos(bits, max_hamming, n_blocks)
+    total = 0
+    for combo in combos:
+        width = sum(bounds[i + 1] - bounds[i] for i in combo)
+        total += 1 << width
+    return total
 
 
 def hamming_dup_pairs(
@@ -286,24 +423,34 @@ def hamming_dup_pairs(
     max_hamming: int,
     banded: bool = True,
     reused: bool = False,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, hamming) on a PRECOMPUTED ``bits``-wide
     integer hash column — the shared kernel behind simhash text dedup and
     perceptual-hash image dedup.
 
-    Default (``banded=True``) is the scale path: split the hash into
-    ``max_hamming + 1`` bit blocks — by pigeonhole, Hamming ≤ max_hamming
-    implies at least one block is EQUAL — equi-join per block on
-    (block_idx, block_value), then verify exact Hamming and distinct the
-    pairs. Identical output to the pairwise form (property-tested), but the
-    join is a shuffled equi-join on the block key, never a cartesian.
-    Negative (full-range int64) hashes are fine: the block mask strips
-    shiftright's sign extension, and bit_count(xor) is sign-agnostic.
+    Default (``banded=True``) is the scale path, Manku-style combination
+    banding (Manku/Jain/Sarma's near-duplicate web-crawl scheme, re-expressed
+    as one Catalyst equi-join): split the hash into ``n_blocks`` bit blocks;
+    by pigeonhole a pair at Hamming ≤ h AGREES on some (n_blocks − h)-block
+    subset, so each row is exploded once per combination keyed on
+    (combo_idx, concatenation of that combo's block values) and candidates
+    equi-join on that key, then verify exact Hamming. Identical output to
+    the pairwise form (property-tested) at every n_blocks; never a
+    cartesian. The knob trades replication for key width: replication =
+    C(n_blocks, h) rows, key width = bits·(n_blocks−h)/n_blocks — so
+    raising n_blocks past the minimal h+1 (where the key is ONE block and
+    its cardinality a constant independent of corpus size) buys a key space
+    that scales with the hash width; see banded_key_space. Negative
+    (full-range int64) hashes are fine: the block mask strips shiftright's
+    sign extension, concatenated combo values of ≤ 60 bits stay
+    non-negative longs, and bit_count(xor) is sign-agnostic.
 
-    ``banded=False`` keeps the O(N²) pairwise reference (oracle-scale only).
-    ``reused=True`` skips the internal materialization when the caller
-    already checkpointed ``df`` (the self-join would otherwise recompute the
-    hash lineage once per side)."""
+    ``n_blocks=None`` keeps the minimal h+1 (single-block keys — right when
+    the corpus is far below the key space). ``banded=False`` is the O(N²)
+    pairwise reference (oracle-scale only). ``reused=True`` skips the
+    internal materialization when the caller already checkpointed ``df``
+    (the self-join would otherwise recompute the hash lineage per side)."""
     s = df.select(id_col, hash_col) if reused else _reuse(
         _spread(df.select(id_col, hash_col))
     )
@@ -319,36 +466,48 @@ def hamming_dup_pairs(
                 F.col(ida).alias("doc_a"), F.col(idb).alias("doc_b"), "hamming"
             )
         )
-    n_blocks = max_hamming + 1
-    bounds = [i * bits // n_blocks for i in range(n_blocks + 1)]
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    bounds, combos = _hamming_combos(bits, max_hamming, n_blocks)
 
-    def _block(col: F.Column, i: int) -> F.Column:
-        return F.shiftright(col, bounds[i]).bitwiseAND(
-            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
-        )
+    def _combo_val(col: Column, combo: tuple[int, ...]) -> Column:
+        """Concatenate the combo's block values into one non-negative long
+        (pure codegen bit algebra; total width ≤ bits ≤ 60 when n_blocks >
+        max_hamming ≥ 1, so no sign overflow)."""
+        v = F.lit(0).cast("long")
+        for i in combo:
+            width = bounds[i + 1] - bounds[i]
+            block = F.shiftright(col, bounds[i]).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            v = F.shiftleft(v, width).bitwiseOR(block)
+        return v
 
-    blocks = F.array(
+    keys = F.array(
         *[
-            F.struct(F.lit(i).alias("blk"), _block(F.col(hash_col), i).alias("val"))
-            for i in range(n_blocks)
+            F.struct(
+                F.lit(c).alias("blk"), _combo_val(F.col(hash_col), combo).alias("val")
+            )
+            for c, combo in enumerate(combos)
         ]
     )
     ex = s.select(
-        id_col, hash_col, F.explode(blocks).alias("b")
+        id_col, hash_col, F.explode(keys).alias("b")
     ).select(
         id_col, hash_col, F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
     # exactly-once emission WITHOUT a distinct: a pair that matches on
-    # several blocks is kept only at its SMALLEST matching block (all
-    # earlier blocks must differ) — cheap codegen'd bit algebra in the join
-    # filter replaces a full shuffle+agg of the pair set (measured: the
-    # distinct was the single most expensive stage of the skewed simhash
-    # contract query)
+    # several combos is kept only at its SMALLEST matching combo (every
+    # earlier combo must differ in ≥1 block ⟺ its concatenated value
+    # differs) — cheap codegen'd bit algebra in the join filter replaces a
+    # full shuffle+agg of the pair set (measured: the distinct was the
+    # single most expensive stage of the skewed simhash contract query)
     ha, hb = F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")
     first_match = F.lit(True)
-    for j in range(n_blocks - 1):
+    for c in range(len(combos) - 1):
         first_match = first_match & (
-            (F.col("a.blk") <= j) | (_block(ha, j) != _block(hb, j))
+            (F.col("a.blk") <= c)
+            | (_combo_val(ha, combos[c]) != _combo_val(hb, combos[c]))
         )
     a, b = ex.alias("a"), ex.alias("b")  # both sides read the checkpointed s
     return (
@@ -374,17 +533,25 @@ def image_dup_pairs(
     id_col: str = "image_id",
     max_hamming: int = 6,
     banded: bool = True,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Corpus-level near-duplicate IMAGE detection: pairs whose 64-bit
     perceptual hash (codecs/phash.py — stored on every corpus row at fetch
     time, so this never touches image bytes) differ by ≤ ``max_hamming``
-    bits. Composes the stored phash with the banded-Hamming pigeonhole
-    equi-join (hamming_dup_pairs) — the image twin of simhash text dedup,
-    and the missing first-class member the r3 review called out. Returns
-    (img_a, img_b, hamming). At 10^10 images this is a shuffled equi-join
-    on (block, value) with an in-bucket exact verify — never all-pairs."""
+    bits. Composes the stored phash with the Manku-style combination-banded
+    Hamming equi-join (hamming_dup_pairs) — the image twin of simhash text
+    dedup. Defaults (64-bit, 8 blocks, h=6): C(8,6)=28 combinations keyed
+    on 16-bit concatenations — key space 28×2¹⁶, vs the r4 single-block
+    form's constant 7×2⁹ that saturated at 10^10 images. Returns
+    (img_a, img_b, hamming). Never all-pairs at any scale: candidates are a
+    shuffled equi-join on (combo, value) with an in-bucket exact verify.
+    ``n_blocks=None`` resolves to max(8, max_hamming + 2) so a looser
+    Hamming radius still gets ≥2-block (multi-block) keys."""
+    if n_blocks is None:
+        n_blocks = max(8, max_hamming + 2)
     pairs = hamming_dup_pairs(
-        df, phash_col, id_col, bits=64, max_hamming=max_hamming, banded=banded
+        df, phash_col, id_col, bits=64, max_hamming=max_hamming, banded=banded,
+        n_blocks=n_blocks,
     )
     return pairs.select(
         F.col("doc_a").alias("img_a"),
@@ -463,26 +630,27 @@ def embedding_dup_pairs(
         codes = _lsh_band_codes(
             F.col("v"), dim, n_bands, rows_per_band, seed
         )
+        # the full per-band code array rides along (n_bands longs) so the
+        # join filter can test EARLIER bands — first-match exactly-once
+        # emission: a pair colliding in several bands is kept only at its
+        # SMALLEST matching band, which makes candidates (hence output
+        # pairs) unique BY CONSTRUCTION and drops the trailing pair-set
+        # .distinct() (a full shuffle+agg of the candidate set)
         ex = normed.select(
-            "vid",
-            "v",
-            "norm",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("band"), c.alias("code"))
-                        for i, c in enumerate(codes)
-                    ]
-                )
-            ).alias("bc"),
+            "vid", "v", "norm", F.array(*codes).alias("codes")
         ).select(
-            "vid", "v", "norm",
-            F.col("bc.band").alias("band"),
-            F.col("bc.code").alias("code"),
+            "vid", "v", "norm", "codes",
+            F.posexplode("codes").alias("band", "code"),
         )
         # both join sides reuse ONE band-code computation (n_bands ×
         # rows_per_band plane dot products per row — the dominant cost)
         ex = _reuse(ex)
+        first_match = F.lit(True)
+        for j in range(n_bands - 1):
+            first_match = first_match & (
+                (F.col("a.band") <= j)
+                | (F.col("a.codes")[j] != F.col("b.codes")[j])
+            )
         a, b = ex.alias("a"), ex.alias("b")
         cand = _banding_diag(
             "embedding.banded_candidates",
@@ -490,7 +658,8 @@ def embedding_dup_pairs(
                 b,
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.code") == F.col("b.code"))
-                & (F.col("a.vid") < F.col("b.vid")),
+                & (F.col("a.vid") < F.col("b.vid"))
+                & first_match,
             ),
         )
     return (
@@ -501,8 +670,62 @@ def embedding_dup_pairs(
             F.col("b.vid").alias("vec_b"),
             F.round("cosine", 4).alias("cosine"),
         )
-        .distinct()
     )
+
+
+def _salted_label_lookup(
+    probe: DataFrame,
+    key: str,
+    salt_by: str,
+    labels_kv: DataFrame,
+    n_salts: int,
+    hot_cap: int,
+) -> DataFrame:
+    """probe ⋈ labels_kv(__k, __lab) on probe[key] == __k, with HOT-KEY
+    salting: keys holding more probe rows than ``hot_cap`` (detected by a
+    map-side-partial groupBy count inside the same job — no extra action)
+    get their single label row replicated across ``n_salts`` and their probe
+    rows spread by hash(salt_by), so a giant star component's label lookup
+    lands on n_salts tasks instead of one. Non-hot keys pay nothing (salt
+    0 on both sides). Same guard shape as similarity.lsh_bucketed_topk's
+    hot_bucket_cap — results identical by construction (each probe row still
+    meets its label row exactly once)."""
+    hot = (
+        probe.groupBy(key)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > hot_cap)
+        .select(F.col(key).alias("__k"), F.lit(True).alias("__hot"))
+    )
+    p = (
+        probe.join(F.broadcast(hot), probe[key] == hot["__k"], "left")
+        .drop("__k")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64(salt_by), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__hot")
+    )
+    lab = (
+        labels_kv.join(F.broadcast(hot), on="__k", how="left")
+        .withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("__salt", F.explode("__salts"))
+        .withColumn("__salt", F.col("__salt").cast("int"))
+        .drop("__salts", "__hot")
+    )
+    return p.join(
+        lab, (p[key] == lab["__k"]) & (p["__salt"] == lab["__salt"])
+    ).drop("__k", "__salt")
 
 
 def dup_clusters(
@@ -510,6 +733,9 @@ def dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    jump: bool = True,
+    n_salts: int = 8,
+    hot_label_cap: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc_id, cluster_id) for every
     id appearing in ``pairs``, cluster_id = the minimum id in the connected
@@ -519,17 +745,29 @@ def dup_clusters(
     component" is well-defined — pairs alone under-delete chained
     duplicates (A~B, B~C must collapse to one survivor, not two).
 
-    Algorithm: distributed min-label propagation (the classic iterative
-    connected-components shape): every node starts labeled with itself; each
-    round every node takes the min of its own label and its neighbours'
-    labels; stop when no label changed. Converges in O(component diameter)
-    rounds — near-dup components are cliquish (diameter ≲ 3) so this is
-    2-4 rounds in practice. Per round: one shuffle join on the edge key +
-    one aggregation — both scale-shaped; labels are re-materialized each
-    round (localCheckpoint) so the iterative lineage never compounds. At
-    10^10 ids the same loop runs with persist(DISK_ONLY) and the standard
-    large-star/small-star optimization halves round count; the semantics
-    here are the contract."""
+    Algorithm: distributed min-label propagation with POINTER JUMPING (path
+    halving). Every node starts labeled with itself; each round a node takes
+    min(own label, jumped label l(l(u)), min over neighbours' jumped
+    labels); stop when no label changed. The jump chases one extra hop
+    through the label table per round, so the contracted distance DOUBLES
+    per round — O(log diameter) rounds instead of the plain propagation's
+    O(diameter) (property-tested: a 64-chain converges in 7 rounds vs 33;
+    ``jump=False`` keeps the plain hop for comparison). This buys the same
+    round-count bound as Kiveris-style large-star/small-star but mutates
+    only the label table, never the edge set — so the convergence test can
+    ride the label materialization as a ``__changed`` flag counted in the
+    SAME action (labels only ever decrease), one Spark job per round instead
+    of r4's materialize-then-join-and-count two.
+
+    Scale shape per round: the jump join and the neighbour lookup both read
+    the previous round's MATERIALIZED labels (materialization honors
+    set_materialize_mode — 'disk' for executor-loss safety; r4 hardcoded
+    localCheckpoint here), and both go through the hot-label salting guard:
+    a giant star component (the shape real boilerplate dedup produces —
+    every member looks up the SAME component-min label row) is detected by
+    an in-job groupBy count and its label row replicated across ``n_salts``
+    tasks, bounding the max task at ~hot_cap instead of the component size.
+    """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = _reuse(
         edges.unionByName(
@@ -542,37 +780,68 @@ def dup_clusters(
     )
     labels = _reuse(labels, spread=False)
     for _ in range(max_iter):
-        nb_min = (
-            sym.join(
-                labels.select(
-                    F.col("doc_id").alias("b"),
-                    F.col("cluster_id").alias("nb_label"),
-                ),
-                on="b",
-            )
-            .groupBy("a")
-            .agg(F.min("nb_label").alias("nb_min"))
+        kv = labels.select(
+            F.col("doc_id").alias("__k"), F.col("cluster_id").alias("__lab")
         )
-        new_labels = (
-            labels.join(
+        if jump:
+            # l1(u) = l(l(u)) ≤ l(u): both sides of the jump join read the
+            # checkpointed labels, so re-deriving `jumped` twice below (as
+            # the neighbour build side and the merge base) costs two cheap
+            # checkpoint-scan joins, not a lineage recompute
+            jumped = _salted_label_lookup(
+                labels, "cluster_id", "doc_id", kv, n_salts, hot_label_cap
+            ).select(
+                "doc_id",
+                F.col("cluster_id").alias("old"),
+                F.col("__lab").alias("l1"),
+            )
+        else:
+            jumped = labels.select(
+                "doc_id", F.col("cluster_id").alias("old"), F.col("cluster_id").alias("l1")
+            )
+        jkv = jumped.select(
+            F.col("doc_id").alias("__k"), F.col("l1").alias("__lab")
+        )
+        nb_min = (
+            _salted_label_lookup(sym, "b", "a", jkv, n_salts, hot_label_cap)
+            .groupBy("a")
+            .agg(F.min("__lab").alias("nb_min"))
+        )
+        merged = (
+            jumped.join(
                 nb_min.withColumnRenamed("a", "doc_id"), on="doc_id", how="left"
             )
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                    F.col("l1"), F.coalesce(F.col("nb_min"), F.col("l1"))
                 ).alias("cluster_id"),
+                F.col("old"),
             )
+            .withColumn("__changed", F.col("cluster_id") < F.col("old"))
+            .drop("old")
         )
-        new_labels = _reuse(new_labels, spread=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # fused convergence: the changed flags are counted over the SAME
+        # materialization that carries the labels forward (labels only
+        # decrease, so __changed is a plain comparison computed in-plan —
+        # no r4-style join against the old table). Local mode: the lazy
+        # localCheckpoint and the count share one job. Disk mode: iteration
+        # REQUIRES a true lineage cut (persist keeps the full logical plan,
+        # which compounds exponentially across self-joining rounds until
+        # Catalyst analysis OOMs — measured at ~8 rounds), so reliable
+        # checkpoint is mandatory here.
+        if _MATERIALIZE_MODE == "disk":
+            if not _reliable_ckpt_ready(merged):
+                raise ValueError(
+                    "dup_clusters in disk materialize mode needs a reliable "
+                    "checkpoint dir for its iterative lineage cut: call "
+                    "set_materialize_mode('disk', checkpoint_dir=<hdfs path>)"
+                )
+            new_labels = merged.checkpoint(eager=True)
+        else:
+            new_labels = merged.localCheckpoint(eager=False)
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -109,26 +109,38 @@ def with_lsh_bucket(
                 _dot(v, pv) > 0, F.lit(1 << int(r["plane_idx"])).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         return df.withColumn("bucket", bucket)
-    pl = planes.select(
-        F.col("plane_idx").cast("int").alias("__pidx"),
-        F.col(vec_col).cast("array<double>").alias("__pv"),
+    # ONE-ROW broadcast of the sorted plane matrix, then the bucket is
+    # computed IN PLACE per row by folding over the array — exactly the
+    # literal path's shape with the planes as broadcast DATA instead of plan
+    # literals: same per-plane dot (sequential zip_with/aggregate reduction
+    # → bit-identical sign bits), zero shuffle, zero join-back, and the plan
+    # stays O(1) in the plane count. (The r4 broadcast form exploded
+    # N × planes rows into a per-id sum — a full aggregation shuffle just to
+    # OR sign bits together.)
+    pl_row = planes.select(
+        F.struct(
+            F.col("plane_idx").cast("int").alias("pidx"),
+            F.col(vec_col).cast("array<double>").alias("pv"),
+        ).alias("p")
+    ).agg(F.array_sort(F.collect_list("p")).alias("__planes"))
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.aggregate(
+        F.col("__planes"),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            # 2^pidx as a long: powers of two are exact in double for any
+            # pidx ≤ 62, and F.shiftleft's python wrapper only takes int
+            # literals (lambda vars can't reach F.expr strings)
+            _dot(v, p["pv"]) > 0,
+            F.pow(F.lit(2.0), p["pidx"]).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    bits = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-        .join(F.broadcast(pl))
-        .select(
-            id_col,
-            F.when(
-                _dot(F.col("__v"), F.col("__pv")) > 0,
-                F.expr("shiftleft(1L, __pidx)"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("__bit"),
-        )
+    return (
+        df.join(F.broadcast(pl_row))
+        .withColumn("bucket", bucket)
+        .drop("__planes")
     )
-    # distinct powers of two: sum ≡ bitwise OR
-    bmap = bits.groupBy(id_col).agg(F.sum("__bit").alias("bucket"))
-    return df.join(bmap, on=id_col)
 
 
 def ivf_topk(
@@ -210,39 +222,47 @@ def ivf_topk(
             (F.col("__pos") + 1).alias("probe_rank"),
         )
     else:
-        # past LITERAL_BUDGET_FLOATS: broadcast-join assignment. The scores
-        # reduce the same doubles in the same order as the literal path
-        # (zip_with/aggregate is sequential, python sum(x*x) is sequential,
-        # centroid norms are per-cell scalars either way) so the chosen
-        # cells are bit-identical; the plan stays O(1) in nlist at the cost
-        # of one aggregation shuffle on vid. At 10^4+ centroids this is the
-        # only shape that compiles.
-        cent = centroids.select(
-            F.col("cell_idx").cast("int").alias("cell_idx"),
-            F.col(vec_col).cast("array<double>").alias("__cv"),
-        ).withColumn("__cn", _norm(F.col("__cv")))
-        sc = (
-            v.join(F.broadcast(cent))
+        # past LITERAL_BUDGET_FLOATS: ONE-ROW broadcast of the sorted
+        # centroid matrix, scored IN PLACE per corpus row with the same
+        # array_sort comparator as the literal path. The scores reduce the
+        # same doubles in the same order (zip_with/aggregate is sequential
+        # both ways; python sum(x*x) and the JVM _norm fold are both
+        # sequential left-to-right) so the chosen cells are bit-identical —
+        # and the plan stays O(1) in nlist. This replaces the r4 broadcast
+        # form, which exploded N × nlist scored rows into a collect_list +
+        # full-sort shuffle per vid just to take the top nprobe (the r4
+        # verdict's watch item); here assignment is narrow map-side work
+        # with ZERO shuffle — the only cost is the nlist × dim broadcast
+        # (~2 MB at 4096×64 doubles).
+        cent_row = centroids.select(
+            F.struct(
+                F.col("cell_idx").cast("int").alias("cell_idx"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            ).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("__cells"))
+        scored_cells = F.transform(
+            F.col("__cells"),
+            lambda c: F.struct(
+                (_dot(F.col("v"), c["cv"]) / _norm(c["cv"])).alias("s"),
+                c["cell_idx"].alias("cell_idx"),
+            ),
+        )
+        ranked_cells = F.array_sort(scored_cells, _cell_cmp)
+        assigned = (
+            v.join(F.broadcast(cent_row))
+            .select(
+                "vid",
+                "v",
+                "n",
+                F.posexplode(F.slice(ranked_cells, 1, nprobe)).alias(
+                    "__pos", "__c"
+                ),
+            )
             .select(
                 "vid", "v", "n",
-                F.struct(
-                    (_dot(F.col("v"), F.col("__cv")) / F.col("__cn")).alias("s"),
-                    F.col("cell_idx"),
-                ).alias("__sc"),
+                F.col("__c.cell_idx").alias("cell_idx"),
+                (F.col("__pos") + 1).alias("probe_rank"),
             )
-        )
-        agg = sc.groupBy("vid").agg(
-            F.first("v").alias("v"),
-            F.first("n").alias("n"),
-            F.array_sort(F.collect_list("__sc"), _cell_cmp).alias("__rc"),
-        )
-        assigned = agg.select(
-            "vid", "v", "n",
-            F.posexplode(F.slice(F.col("__rc"), 1, nprobe)).alias("__pos", "__c"),
-        ).select(
-            "vid", "v", "n",
-            F.col("__c.cell_idx").alias("cell_idx"),
-            (F.col("__pos") + 1).alias("probe_rank"),
         )
     a = assigned.alias("a")  # query side: probes nprobe cells
     b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # indexed in top cell

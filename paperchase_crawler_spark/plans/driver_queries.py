@@ -638,12 +638,17 @@ def q_dedup_simhash(spark, sf):
 
 
 def _sql_simhash() -> str:
+    # 60 bits, in lockstep with dedup.SIMHASH_BITS (the r5 widening that
+    # lets the banded join's key space grow with the hash width); 60 stays a
+    # positive BIGINT so xor/bit_count below are exact
+    from ..operators.dedup import SIMHASH_BITS as _SB
+
     votes = ",\n  ".join(
         f"SUM(CASE WHEN (wh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(32)
+        for j in range(_SB)
     )
     bits = " + ".join(
-        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(32)
+        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(_SB)
     )
     h = _SQL_H.format(expr="word")
     return f"""

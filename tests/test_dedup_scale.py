@@ -392,3 +392,153 @@ def test_dup_clusters_composes_with_image_pairs(spark):
         assert {i, i + 1000, i + 2000} <= by_cluster[i]
     survivors = set(by_cluster)  # keep-one = the cluster ids
     assert len(survivors) <= 121  # ~one per planted component
+
+
+def test_banded_key_space_grows_with_bits():
+    """The r4 single-block banding's key space was CONSTANT in the hash
+    width's corpus-scaling sense (4×2⁸ for 32-bit simhash, 7×2⁹ for phash);
+    the Manku combination keys must grow it with bits AND with n_blocks —
+    the property that keeps 'bucketed, not all-pairs' true at 10^9+ rows."""
+    # old defaults (minimal blocks = single-block keys)
+    assert D.banded_key_space(32, 3, 4) == 4 * 2**8
+    assert D.banded_key_space(64, 6, 7) == 6 * 2**9 + 2**10  # uneven 64/7 blocks
+    # r5 defaults: 60-bit simhash / 5 blocks, 64-bit phash / 8 blocks
+    sim_old, sim_new = D.banded_key_space(32, 3, 4), D.banded_key_space(60, 3, 5)
+    ph_old, ph_new = D.banded_key_space(64, 6, 7), D.banded_key_space(64, 6, 8)
+    assert sim_new == 10 * 2**24 and sim_new > 100_000 * sim_old
+    assert ph_new == 28 * 2**16 and ph_new > 100 * ph_old
+    # monotone in n_blocks at fixed bits/h
+    assert (
+        D.banded_key_space(60, 3, 4)
+        < D.banded_key_space(60, 3, 5)
+        < D.banded_key_space(60, 3, 6)
+    )
+    # pigeonhole precondition is enforced
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.banded_key_space(60, 3, 3)
+
+
+def test_hamming_nblocks_sweep_equals_pairwise(spark):
+    """Every n_blocks choice is EXACT by the same pigeonhole argument —
+    sweep the knob over full-range int64 hashes with planted near-dups and
+    pin equality against the all-pairs reference."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("h")
+    )
+    twins = spark.range(0, 300).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.xxhash64("id")
+        .bitwiseXOR(F.expr("shiftleft(1L, cast(id % 64 as int))"))
+        .bitwiseXOR(F.expr("shiftleft(1L, cast((id * 11 + 3) % 64 as int))"))
+        .alias("h"),
+    )
+    df = base.unionByName(twins)
+    want = sorted(
+        map(tuple, D.hamming_dup_pairs(
+            df, "h", "doc_id", bits=64, max_hamming=4, banded=False
+        ).collect())
+    )
+    assert len(want) >= 300
+    for nb in (5, 6, 8):
+        got = sorted(
+            map(tuple, D.hamming_dup_pairs(
+                df, "h", "doc_id", bits=64, max_hamming=4, n_blocks=nb
+            ).collect())
+        )
+        assert got == want, f"n_blocks={nb} diverged from pairwise"
+
+
+def test_dup_clusters_jump_reduces_rounds(spark):
+    """Pointer jumping must converge a 64-chain (diameter 63) in O(log d)
+    rounds — plain propagation moves the min label ONE hop per round and
+    blows the same round budget."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    chain = spark.range(0, 63).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(chain, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dup_clusters(chain, max_iter=10, jump=False)
+
+
+def test_dup_clusters_hot_label_salting_identical(spark):
+    """The hot-label salting guard (giant star components: every member
+    looks up the SAME label row) changes task sizing, never results."""
+    from pyspark.sql import functions as F
+
+    # one giant star (hub 0, 300 leaves) + a chain + isolated pairs
+    star = spark.range(1, 301).select(
+        F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    chain = spark.range(400, 420).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    pairs = star.unionByName(chain)
+    guarded = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs, n_salts=4, hot_label_cap=10).collect()
+    }
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs).collect()
+    }
+    assert guarded == plain
+    assert guarded[300] == 0 and guarded[420] == 400
+
+
+def test_dedup_suite_disk_mode_equivalence(spark, tmp_path):
+    """set_materialize_mode('disk') — the executor-loss-safe mode for real
+    clusters (r4 hardcoded localCheckpoint) — must produce identical results
+    across the dedup suite. With a checkpoint_dir it uses RELIABLE
+    df.checkpoint (true lineage cut — required by the iterative
+    dup_clusters, whose persist-only lineage would compound until Catalyst
+    analysis OOMs); without one the one-shot operators fall back to
+    persist(DISK_ONLY) and unpersist_materialized() frees every block."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    chain = spark.range(0, 40).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    local = {
+        "mh": _rows(D.minhash_lsh_pairs(docs, "text", "doc_id", 3, 8, 4)),
+        "sh": _rows(D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)),
+        "cl": _rows(D.dup_clusters(chain)),
+    }
+    # persist fallback first (no checkpoint dir anywhere yet): non-iterative
+    # ops exact, blocks freed on demand; the iterative op refuses loudly
+    assert spark.sparkContext.getCheckpointDir() is None
+    D.set_materialize_mode("disk")
+    try:
+        got = _rows(D.minhash_lsh_pairs(docs, "text", "doc_id", 3, 8, 4))
+        assert got == local["mh"]
+        assert D.unpersist_materialized(blocking=True) > 0
+        with pytest.raises(ValueError, match="checkpoint dir"):
+            D.dup_clusters(chain)
+    finally:
+        D.set_materialize_mode("local")
+        D.unpersist_materialized()
+    # reliable-checkpoint path: the whole suite, iterative op included
+    D.set_materialize_mode("disk", checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        disk = {
+            "mh": _rows(D.minhash_lsh_pairs(docs, "text", "doc_id", 3, 8, 4)),
+            "sh": _rows(D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)),
+            "cl": _rows(D.dup_clusters(chain)),
+        }
+        assert disk == local
+    finally:
+        D.set_materialize_mode("local")
+    with pytest.raises(ValueError, match="'local' or 'disk'"):
+        D.set_materialize_mode("memory")

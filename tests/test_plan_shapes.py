@@ -51,6 +51,42 @@ def test_no_allpairs_or_single_partition(spark, queries, name):
     )
 
 
+# first-match exactly-once emission (r4 for the Hamming kernel, r5 for the
+# minhash + embedding paths): candidate pairs are unique BY CONSTRUCTION, so
+# the final plan must carry NO aggregate at all — the old trailing
+# .distinct() was a full shuffle+agg of the pair set. (The signature/code
+# computations upstream sit behind a checkpoint cut, so any aggregate in the
+# executed plan is the distinct creeping back.)
+FIRST_MATCH_QUERIES = [
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_image_phash",
+    "q_dedup_embedding",
+]
+
+
+@pytest.mark.parametrize("name", FIRST_MATCH_QUERIES)
+def test_first_match_emission_has_no_pair_aggregate(spark, queries, name):
+    plan = _plan(queries[name](spark, SF))
+    assert "Aggregate" not in plan, (
+        f"{name} re-grew a pair-set distinct (or another aggregate) — "
+        "first-match emission should make candidates unique by construction"
+    )
+
+
+def test_jaccard_cap_stage_is_partial_agg_not_window(spark, queries):
+    """The shingle freq-cap must be a groupBy (map-side partial aggregation)
+    + broadcast ANTI-join of the over-cap shingles — the r4
+    Window.partitionBy('shingle') form put ALL f rows of a hot shingle in
+    one task, making the cap stage itself the web-scale straggler the cap
+    exists to prevent."""
+    plan = _plan(queries["q_dedup_jaccard"](spark, SF))
+    assert "Window" not in plan, "jaccard cap regressed to a window"
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan, (
+        "over-cap shingles should be removed by a broadcast anti-join"
+    )
+
+
 def test_ann_bruteforce_is_broadcast_map_side(spark, queries):
     """Brute-force ANN: the DESIGNED plan broadcasts the small query side and
     streams the corpus map-side — a BNLJ is expected, but the corpus side
