@@ -34,6 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class IceTable:
+    # a bucketed snapshot inherits untouched buckets' (manifest pointer +
+    # summary) from its parent BY REFERENCE, so a delta commit's snap json
+    # is O(touched buckets); every ROLLUP_EVERY-th commit materializes the
+    # full per-bucket map so resolution never walks more than this many
+    # snapshots (and retention only has to pin that much extra history)
+    ROLLUP_EVERY = 16
+
     def __init__(self, path: str):
         self.path = path
         self.data_dir = os.path.join(path, "data")
@@ -42,8 +49,10 @@ class IceTable:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         # manifest files are immutable once written (named by snapshot id,
-        # ids never reused) — cache parses for the life of this handle
+        # ids never reused) — cache parses for the life of this handle;
+        # same for resolved bucket maps (keyed by snapshot id)
         self._manifest_cache: dict[str, dict] = {}
+        self._resolved_cache: dict[int, dict] = {}
 
     # -- metadata ------------------------------------------------------------
 
@@ -284,21 +293,19 @@ class IceTable:
         inherit: bool,
     ) -> int:
         """Write one manifest per TOUCHED bucket; inherit every other
-        bucket's manifest pointer + summary from the parent (``inherit``) or
-        start fresh (full overwrite). The snapshot carries pointers +
-        summaries only."""
+        bucket's manifest pointer AND summary from the parent BY CHAIN
+        REFERENCE (``inherit``), or start fresh (full overwrite). The
+        snapshot carries only the touched buckets' pointer+summary entries
+        plus a ``prev`` pointer — O(touched), not O(buckets) (the r4 format
+        rewrote every bucket's summary into every snap json; fine at 10³
+        buckets, ~3.5 MB/commit at 10⁵). Every ROLLUP_EVERY-th commit
+        materializes the full map (prev=None) so chain resolution — and the
+        history retention must pin — stays bounded."""
         parent = self.snapshot()
         sid = self._next_sid()
-        manifests: dict[str, str] = {}
-        summary: dict[str, dict] = {}
-        if inherit:
-            if parent is None or "buckets" not in parent["meta"]:
-                raise ValueError(f"icetable {self.path}: no bucketed base")
-            pbk = parent["meta"]["buckets"]
-            manifests = dict(pbk["manifests"])
-            summary = dict(pbk["summary"])
         os.makedirs(self.manifest_dir, exist_ok=True)
         manifest_bytes = 0
+        delta: dict[str, dict] = {}
         for b, entry in touched.items():
             rel = os.path.join("manifests", f"m-{sid}-{b}.json")
             full = os.path.join(self.meta_dir, rel)
@@ -308,14 +315,75 @@ class IceTable:
             os.replace(tmp, full)
             manifest_bytes += os.path.getsize(full)
             self._manifest_cache[rel] = entry
-            manifests[b] = rel
-            summary[b] = self._summarize(entry)
+            delta[b] = {"manifest": rel, "summary": self._summarize(entry)}
         self.last_manifest_bytes = manifest_bytes
         self.last_touched_buckets = len(touched)
+        if inherit:
+            if parent is None or "buckets" not in parent["meta"]:
+                raise ValueError(f"icetable {self.path}: no bucketed base")
+            bk = self._inherit_bk(parent, delta, n_buckets)
+        else:
+            bk = {"n": n_buckets, "delta": delta, "prev": None, "depth": 0}
         meta = dict(meta or {})
-        meta["buckets"] = {"n": n_buckets, "manifests": manifests, "summary": summary}
-        total = sum(s["rows"] for s in summary.values())
+        meta["buckets"] = bk
+        resolved = self._resolve_bk(bk)
+        self._resolved_cache[sid] = resolved
+        total = sum(s["rows"] for s in resolved["summary"].values())
         return self._commit(op, [], {}, meta, total_rows=total)
+
+    def _inherit_bk(
+        self, parent: dict, delta: dict[str, dict], n_buckets: int
+    ) -> dict:
+        """Build the buckets meta for a commit inheriting from ``parent``:
+        a chain delta normally, a full rollup every ROLLUP_EVERY commits."""
+        pbk = parent["meta"]["buckets"]
+        pdepth = int(pbk.get("depth", 0))
+        if pdepth + 1 < self.ROLLUP_EVERY:
+            return {
+                "n": n_buckets,
+                "delta": delta,
+                "prev": parent["id"],
+                "depth": pdepth + 1,
+            }
+        resolved = self._resolve_bk(pbk, parent["id"])
+        full = {
+            b: {"manifest": resolved["manifests"][b], "summary": resolved["summary"][b]}
+            for b in resolved["manifests"]
+        }
+        full.update(delta)
+        return {"n": n_buckets, "delta": full, "prev": None, "depth": 0}
+
+    def _resolve_bk(self, bk: dict, sid: int | None = None) -> dict:
+        """Resolve a buckets meta dict (either format) to the full
+        {"n", "manifests": {b: rel}, "summary": {b: {...}}} map, walking the
+        ``prev`` chain for delta snapshots. Cached by snapshot id —
+        snapshots are immutable."""
+        if sid is not None and sid in self._resolved_cache:
+            return self._resolved_cache[sid]
+        if "manifests" in bk:  # r4 full-format snapshot (or rolled up)
+            out = {
+                "n": bk["n"],
+                "manifests": dict(bk["manifests"]),
+                "summary": dict(bk["summary"]),
+            }
+        elif bk["prev"] is None:
+            out = {
+                "n": bk["n"],
+                "manifests": {b: e["manifest"] for b, e in bk["delta"].items()},
+                "summary": {b: e["summary"] for b, e in bk["delta"].items()},
+            }
+        else:
+            parent = self.snapshot(bk["prev"])
+            base = self._resolve_bk(parent["meta"]["buckets"], bk["prev"])
+            manifests = dict(base["manifests"])
+            summary = dict(base["summary"])
+            for b, e in bk["delta"].items():
+                manifests[b] = e["manifest"]
+                summary[b] = e["summary"]
+            out = {"n": bk["n"], "manifests": manifests, "summary": summary}
+        if sid is not None:
+            self._resolved_cache[sid] = out
+        return out
 
     @staticmethod
     def _entry(
@@ -356,13 +424,14 @@ class IceTable:
         if parent is None or "buckets" not in parent["meta"]:
             raise ValueError("append_bucketed_delta requires a bucketed base")
         pbk = parent["meta"]["buckets"]
+        presolved = self._resolve_bk(pbk, parent["id"])
         new_buckets, new_counts = self._write_bucketed(df, self._next_sid())
         new_files = [f for fs in new_buckets.values() for f in fs]
         zones_new = zone_fn(new_files) if zone_fn else {}
         touched: dict[str, dict] = {}
         for b, fs in new_buckets.items():
-            if b in pbk["manifests"]:
-                pe = self._read_manifest(pbk["manifests"][b])
+            if b in presolved["manifests"]:
+                pe = self._read_manifest(presolved["manifests"][b])
                 touched[b] = {
                     "base": list(pe["base"]),
                     "delta": pe["delta"] + fs,
@@ -414,6 +483,10 @@ class IceTable:
             raise ValueError(f"icetable {self.path}: not a bucketed table")
         return snap["meta"]["buckets"]
 
+    def _resolved_at(self, snapshot_id: int | None = None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        return self._resolve_bk(self._buckets_meta(snapshot_id), sid)
+
     def bucket_plan(
         self,
         snapshot_id: int | None = None,
@@ -423,7 +496,7 @@ class IceTable:
         ``buckets`` scopes the read: only those buckets' manifests are
         opened — the pruned-SELECT / suspect-verify paths never touch cold
         buckets' metadata (None opens all, for full scans/compaction)."""
-        bk = self._buckets_meta(snapshot_id)
+        bk = self._resolved_at(snapshot_id)
         sel = (
             bk["manifests"]
             if buckets is None
@@ -436,16 +509,16 @@ class IceTable:
         return out
 
     def bucket_summaries(self, snapshot_id: int | None = None) -> dict[str, dict]:
-        """Per-bucket summary rows from the snapshot alone (no manifest IO):
-        row/file counts + aggregated queued-depth histograms (see
-        _summarize). This is what planners prune on."""
-        return self._buckets_meta(snapshot_id)["summary"]
+        """Per-bucket summary rows from the snapshot chain alone (no
+        manifest IO): row/file counts + aggregated queued-depth histograms
+        (see _summarize). This is what planners prune on."""
+        return self._resolved_at(snapshot_id)["summary"]
 
     def bucket_zones(self, snapshot_id: int | None = None) -> dict[str, dict]:
         """file → zone-map stats dict, assembled from ALL buckets' manifests
         (diagnostic/test surface — planners use bucket_summaries, which
         needs no manifest IO)."""
-        bk = self._buckets_meta(snapshot_id)
+        bk = self._resolved_at(snapshot_id)
         out: dict[str, dict] = {}
         for rel in bk["manifests"].values():
             out.update(self._read_manifest(rel).get("zones", {}))
@@ -457,8 +530,8 @@ class IceTable:
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return []
-        bk = snap["meta"].get("buckets")
-        if bk and "manifests" in bk:
+        if "buckets" in snap["meta"]:
+            bk = self._resolve_bk(snap["meta"]["buckets"], snap["id"])
             out: list[str] = []
             for rel in bk["manifests"].values():
                 e = self._read_manifest(rel)
@@ -478,13 +551,15 @@ class IceTable:
     def commit_empty(self, meta: dict[str, Any] | None = None) -> int:
         """Metadata-only commit (carries counters without rewriting data).
         On a bucketed table the parent's manifest pointers + summaries carry
-        forward untouched."""
+        forward by chain reference (an empty delta)."""
         parent = self.snapshot()
         files = parent["files"] if parent else []
         counts = parent["row_counts"] if parent else {}
         meta = dict(meta or {})
         if parent and "buckets" in parent["meta"] and "buckets" not in meta:
-            meta["buckets"] = parent["meta"]["buckets"]
+            meta["buckets"] = self._inherit_bk(
+                parent, {}, parent["meta"]["buckets"]["n"]
+            )
         total = parent["total_rows"] if parent else None
         return self._commit("meta", files, counts, meta, total_rows=total)
 
@@ -525,6 +600,48 @@ class IceTable:
         keep = set(ids[-keep_last:])
         if current is not None:
             keep.add(current)
+        # a surviving DELTA snapshot resolves its bucket map through its
+        # ``prev`` chain; rather than pinning expired ancestors (which would
+        # pin their DATA generations too), rewrite any kept snapshot whose
+        # chain escapes the keep set into self-contained form — same id,
+        # byte-different but SEMANTICALLY identical metadata (resolution is
+        # deterministic), the same move as Iceberg's rewrite-manifests
+        # maintenance. Retention then behaves exactly as in the full-format
+        # days: keep_last bounds snapshots, orphan vacuum reclaims the rest.
+        for sid in list(keep):
+            snap = self.snapshot(sid)
+            bk = snap["meta"].get("buckets")
+            if not bk or "manifests" in bk or bk.get("prev") is None:
+                continue
+            cur, escapes = bk["prev"], False
+            while cur is not None:
+                if cur not in keep:
+                    escapes = True
+                    break
+                nbk = self.snapshot(cur)["meta"].get("buckets")
+                if not nbk or "manifests" in nbk or nbk.get("prev") is None:
+                    break
+                cur = nbk["prev"]
+            if not escapes:
+                continue
+            resolved = self._resolve_bk(bk, sid)
+            snap["meta"]["buckets"] = {
+                "n": bk["n"],
+                "delta": {
+                    b: {
+                        "manifest": resolved["manifests"][b],
+                        "summary": resolved["summary"][b],
+                    }
+                    for b in resolved["manifests"]
+                },
+                "prev": None,
+                "depth": 0,
+            }
+            path = os.path.join(self.meta_dir, f"snap-{sid}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            os.replace(tmp, path)
         removed = 0
         for sid in ids:
             if sid not in keep:
@@ -545,9 +662,12 @@ class IceTable:
         live_manifests: set[str] = set()
         for sid in self.snapshot_ids():
             snap = self.snapshot(sid)
-            bk = snap["meta"].get("buckets")
-            if bk and "manifests" in bk:
-                live_manifests.update(bk["manifests"].values())
+            if "buckets" in snap["meta"]:
+                live_manifests.update(
+                    self._resolve_bk(snap["meta"]["buckets"], sid)[
+                        "manifests"
+                    ].values()
+                )
             for f in self.files_at(sid):
                 d = os.path.dirname(f)
                 while len(d) > len(self.data_dir):

@@ -43,7 +43,8 @@ def gen_frontier(
         from paperchase_crawler_spark.sources.icetable import IceTable
 
         snap = IceTable(path).snapshot()
-        if snap and "manifests" in snap["meta"].get("buckets", {}):
+        bk = snap["meta"].get("buckets", {}) if snap else {}
+        if "manifests" in bk or "delta" in bk:  # r4 full / r5 chain format
             return
         # pre-manifest fixture from an older metadata format — regenerate
         import shutil

@@ -163,3 +163,70 @@ def test_manifest_metadata_is_o_touched_buckets(spark, tmp_path):
     n_manifests_after = len(os.listdir(t.manifest_dir))
     assert n_manifests_after < n_manifests_before
     assert t.read(spark).count() == 6400 + 10 * 20  # current snapshot intact
+
+
+def test_snapshot_summaries_are_o_touched_delta_encoded(spark, tmp_path):
+    """r5: snap-N.json itself must be O(TOUCHED buckets) for a delta commit
+    — the r4 format rewrote every bucket's summary into every snapshot
+    (~3.5 MB/commit at 10⁵ buckets). Kept-format contract: untouched
+    buckets inherit by ``prev`` chain, a full rollup lands every
+    ROLLUP_EVERY commits, resolution is exact at every snapshot (time
+    travel included), and retention REWRITES kept snapshots self-contained
+    instead of pinning expired chain ancestors' data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = IceTable(str(tmp_path / "d"))
+    NB = 256
+    base = spark.range(0, NB * 20).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(NB)).cast("int").alias("__fb")
+    )
+    t.overwrite_bucketed(base, n_buckets=NB)
+
+    def snap_bytes(sid=None):
+        sid = sid if sid is not None else t.current_snapshot_id()
+        return os.path.getsize(os.path.join(t.meta_dir, f"snap-{sid}.json"))
+
+    full_size = snap_bytes()
+
+    def delta(lo):
+        return spark.range(lo, lo + 8).select(
+            F.col("id").alias("k"),
+            (F.pmod("id", F.lit(2)) * 4 + 3).cast("int").alias("__fb"),
+        ).repartition(2, F.col("__fb"))
+
+    t.append_bucketed_delta(delta(10_000))
+    d1 = snap_bytes()
+    # a 2-of-256-bucket delta snapshot is a small fraction of the full one
+    assert d1 < full_size / 10, (d1, full_size)
+    # resolution is exact: all buckets visible, rows correct
+    assert len(t.bucket_summaries()) == NB
+    assert t.read(spark).count() == NB * 20 + 8
+    first_delta_sid = t.current_snapshot_id()
+
+    # chain stays flat until the rollup, which lands every ROLLUP_EVERY
+    # commits and resets depth
+    sizes = []
+    for i in range(t.ROLLUP_EVERY + 2):
+        t.append_bucketed_delta(delta(20_000 + i * 100))
+        sizes.append((snap_bytes(), t.snapshot()["meta"]["buckets"]["prev"]))
+    assert any(prev is None for _, prev in sizes)  # a rollup happened
+    deltas = [s for s, prev in sizes if prev is not None]
+    assert max(deltas) < full_size / 10  # every delta snap stays O(touched)
+    # rollup snapshot is self-contained AND resolves identically
+    assert t.read(spark).count() == NB * 20 + 8 * (t.ROLLUP_EVERY + 3)
+    assert len(t.bucket_plan()) == NB
+
+    # time travel through the chain
+    assert len(t.bucket_summaries(first_delta_sid)) == NB
+
+    # retention: keep_last=1 must vacuum old snapshots/data — the kept
+    # snapshot is rewritten self-contained, not left dangling on a chain
+    n_snaps_before = len(t.snapshot_ids())
+    t.expire_snapshots(keep_last=1)
+    assert len(t.snapshot_ids()) < n_snaps_before
+    cur_bk = t.snapshot()["meta"]["buckets"]
+    assert cur_bk.get("prev") is None or "manifests" in cur_bk
+    assert t.read(spark).count() == NB * 20 + 8 * (t.ROLLUP_EVERY + 3)
+    assert len(t.bucket_summaries()) == NB
