@@ -218,16 +218,25 @@ def main() -> None:
         docs, 64, 0.5), out)
     measure(watch, "minhash_lsh", lambda: D.minhash_lsh_pairs(
         docs, "text", "doc_id", k=3, n_hashes=8, bands=4), out)
+    measure(watch, "simhash_auto", lambda: D.simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3), out)
     measure(watch, "simhash_manku_nb5", lambda: D.simhash_pairs(
         docs, "text", "doc_id", max_hamming=3, n_blocks=5), out)
-    measure(watch, "simhash_singleblock_r4", lambda: D.simhash_pairs(
+    measure(watch, "simhash_singleblock", lambda: D.simhash_pairs(
         docs, "text", "doc_id", max_hamming=3, n_blocks=4), out)
+    measure(watch, "image_phash_auto", lambda: D.image_dup_pairs(
+        imgs, "phash", "image_id", max_hamming=6), out)
     measure(watch, "image_phash_manku_nb8", lambda: D.image_dup_pairs(
         imgs, "phash", "image_id", max_hamming=6, n_blocks=8), out)
-    measure(watch, "image_phash_singleblock_r4", lambda: D.image_dup_pairs(
+    measure(watch, "image_phash_singleblock", lambda: D.image_dup_pairs(
         imgs, "phash", "image_id", max_hamming=6, n_blocks=7), out)
     measure(watch, "dup_clusters_star", lambda: D.dup_clusters(
         pairs, n_salts=8, hot_label_cap=20_000), out)
+    out["auto_picks"] = {
+        "simhash_60bit": D.auto_n_blocks(docs.count(), 60, 3),
+        "image_phash_64bit": D.auto_n_blocks(imgs.count(), 64, 6),
+        "image_phash_at_1e9": D.auto_n_blocks(10**9, 64, 6),
+    }
 
     print(json.dumps({
         "metric": "dedup_suite_zipf",

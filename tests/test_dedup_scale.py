@@ -542,3 +542,27 @@ def test_dedup_suite_disk_mode_equivalence(spark, tmp_path):
         D.set_materialize_mode("local")
     with pytest.raises(ValueError, match="'local' or 'disk'"):
         D.set_materialize_mode("memory")
+
+
+def test_auto_n_blocks_scales_with_corpus():
+    """Adaptive banding: minimal replication while the corpus is far below
+    the key space, wider combination keys as it grows — the layout choice
+    is a pure function of (N, bits, h), monotone in N, and bounded by the
+    replication/granularity caps."""
+    # contract scale: minimal layouts (the fast path the bench measures)
+    assert D.auto_n_blocks(10_000, 60, 3) == 4
+    assert D.auto_n_blocks(10_000, 64, 6) == 7
+    # web scale: keys widen
+    assert D.auto_n_blocks(10**9, 60, 3) == 5
+    assert D.auto_n_blocks(10**9, 64, 6) == 9
+    # monotone in N, never below the pigeonhole minimum
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**11):
+        nb = D.auto_n_blocks(n, 64, 6)
+        assert nb >= 7 and nb >= prev
+        prev = nb
+    # bounded: replication cap stops growth even at absurd N
+    from math import comb
+
+    nb = D.auto_n_blocks(10**14, 64, 6)
+    assert comb(nb, 6) <= D.MAX_REPLICATION
