@@ -162,6 +162,26 @@ def shingle_table(
     )
 
 
+def capped_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose doc-frequency exceeds the cap, via groupBy +
+    broadcast ANTI-join of the over-cap shingle list. groupBy does MAP-SIDE
+    PARTIAL aggregation: the hottest shingle shuffles one partial count per
+    input partition, never its f rows — the r4 Window.partitionBy("shingle")
+    form put ALL f rows of a hot shingle in ONE task (windows can't
+    partial-aggregate), so at web scale the cap STAGE itself was the
+    straggler/OOM the cap exists to prevent (f ~ corpus size for boilerplate
+    shingles). The over-cap list is tiny by definition — shingles whose
+    doc-freq exceeds the cap are the extreme head of the frequency curve —
+    so the anti-join is a broadcast with zero extra shuffle on ``sh``."""
+    over = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__f"))
+        .filter(F.col("__f") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(over), on="shingle", how="left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -182,23 +202,10 @@ def jaccard_pairs(
     # re-spread needed
     sh = _reuse(shingle_table(_spread(df), text_col, id_col, k), spread=False)
     if max_doc_freq is not None:
-        # doc frequency via groupBy + broadcast ANTI-join of the over-cap
-        # shingles. groupBy does MAP-SIDE PARTIAL aggregation: the hottest
-        # shingle shuffles one partial count per input partition, never its
-        # f rows — the r4 Window.partitionBy("shingle") form put ALL f rows
-        # of a hot shingle in ONE task (windows can't partial-aggregate), so
-        # at web scale the cap STAGE itself was the straggler/OOM the cap
-        # exists to prevent (f ~ corpus size for boilerplate shingles). The
-        # over-cap list is tiny by definition — shingles whose doc-freq
-        # exceeds the cap are the extreme head of the frequency curve — so
-        # the anti-join is a broadcast with zero extra shuffle on sh.
-        over = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__f"))
-            .filter(F.col("__f") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(over), on="shingle", how="left_anti")
+        # checkpoint the CAPPED stream too (a cheap map-side pass over the
+        # first checkpoint) so the three consumers below scan it directly
+        # instead of re-deriving the anti-join per consumer
+        sh = _reuse(capped_shingles(sh, max_doc_freq), spread=False)
     sh = _banding_diag("jaccard.shingles_after_cap", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")

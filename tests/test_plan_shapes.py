@@ -79,12 +79,23 @@ def test_jaccard_cap_stage_is_partial_agg_not_window(spark, queries):
     + broadcast ANTI-join of the over-cap shingles — the r4
     Window.partitionBy('shingle') form put ALL f rows of a hot shingle in
     one task, making the cap stage itself the web-scale straggler the cap
-    exists to prevent."""
+    exists to prevent. The cap sits behind a checkpoint cut in the full
+    query, so its plan is asserted on the stage directly; the full query
+    plan is asserted Window-free."""
+    from paperchase_crawler_spark.operators import dedup as D
+
     plan = _plan(queries["q_dedup_jaccard"](spark, SF))
     assert "Window" not in plan, "jaccard cap regressed to a window"
-    assert "LeftAnti" in plan and "BroadcastExchange" in plan, (
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = D.shingle_table(docs, "text", "doc_id", 3)
+    cap_plan = _plan(D.capped_shingles(sh, 64))
+    assert "Window" not in cap_plan
+    assert "LeftAnti" in cap_plan and "BroadcastExchange" in cap_plan, (
         "over-cap shingles should be removed by a broadcast anti-join"
     )
+    # the freq count must partial-aggregate (map-side combine), the property
+    # the window form lacked
+    assert "partial_count" in cap_plan or "partial count" in cap_plan.lower()
 
 
 def test_ann_bruteforce_is_broadcast_map_side(spark, queries):
