@@ -513,3 +513,49 @@ def test_ingest_refuses_crash_garbage_tip(spark, tmp_path):
     urls = {row["canon_url"] for row in merged_frontier(spark, resumed.frontier).collect()}
     assert "https://host0.example/feed" in urls
     assert "https://host0.example/half-round" not in urls
+
+
+def test_ingest_crash_after_frontier_before_bloom_recovers(spark, tmp_path):
+    """The other crash window of the r5 commit order (frontier → bloom →
+    seen): frontier committed, bloom + seen not. The replay must skip the
+    frontier, recompute the SAME key set (seen untouched ⇒ the anti-join
+    is unchanged), append bloom then seen, and end with seen ⊆ bloom —
+    with no duplicate frontier rows and no disc_seq drift."""
+    from paperchase_crawler_spark import simweb
+    from paperchase_crawler_spark.operators.seen import BloomSeen
+    from paperchase_crawler_spark.plans.crawl import CrawlRunner
+
+    wd = str(tmp_path / "fb")
+    runner = CrawlRunner(
+        spark, wd, round_budget=50, with_bytes=False, frontier_buckets=4,
+        bloom=BloomSeen(n_buckets=16, m_bits=1 << 12, k=5),
+    )
+    runner.init_from_seeds(simweb.seed_urls(8))
+    runner.run(1)
+    batch = spark.createDataFrame(
+        [("https://host0.example/fb-page", 1)], "raw_url string, src_seq long"
+    )
+    seen_pre = runner.seen.current_snapshot_id()
+    bloom_pre = runner.bloom_shards.current_snapshot_id()
+    kw = dict(
+        n_buckets=runner.frontier_buckets, seen_buckets=runner.seen_buckets,
+        bloom=runner.bloom, bloom_shards=runner.bloom_shards,
+        bloom_shard_groups=runner.bloom_shard_groups,
+    )
+    ingest_batch(spark, batch, runner.frontier, runner.seen, epoch_id=6, **kw)
+    f_snap = runner.frontier.current_snapshot_id()
+    # the crash window: roll BOTH bloom and seen back (frontier stands)
+    runner.seen.rollback(seen_pre)
+    runner.bloom_shards.rollback(bloom_pre)
+    r = ingest_batch(spark, batch, runner.frontier, runner.seen, epoch_id=6, **kw)
+    assert r["replayed"] is False and r["n_new"] == 1
+    assert runner.frontier.current_snapshot_id() == f_snap  # not re-applied
+    fr = merged_frontier(spark, runner.frontier).collect()
+    assert len([x for x in fr if x["canon_url"].endswith("fb-page")]) == 1
+    seqs = [x["disc_seq"] for x in fr]
+    assert len(seqs) == len(set(seqs))
+    keys = runner.seen.read(spark)
+    suspects = runner.bloom.probe(
+        keys, runner.bloom_shards.read(spark)
+    ).filter("maybe_seen")
+    assert suspects.count() == keys.count()  # seen ⊆ bloom after recovery
