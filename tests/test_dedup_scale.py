@@ -265,6 +265,9 @@ def test_ann_literal_guard_switches_to_broadcast(spark):
     # arrays, so compare directionally and check the join marker)
     assert len(plan_auto) < len(plan_lit)
     assert "BroadcastNestedLoopJoin" in plan_auto or "BroadcastExchange" in plan_auto
+    # r5: assignment is a one-row broadcast matrix scored IN PLACE — the r4
+    # broadcast form's N×nlist collect_list shuffle must not reappear
+    assert "collect_list" not in plan_auto
     got = sorted(map(tuple, auto.collect()))
     want = sorted(map(tuple, forced.collect()))
     assert got == want and len(got) > 0
