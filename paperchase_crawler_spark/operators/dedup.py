@@ -196,16 +196,18 @@ def jaccard_pairs(
     ``max_doc_freq`` drops ubiquitous shingles before the self-join (the skew
     defense at scale: a shingle in f docs contributes f² join rows).
     """
-    # compute shingles ONCE (the k-gram fan-out dominates the query), then
-    # every consumer — freq counting, both self-join sides, sizes — rereads
-    # the checkpoint; the self-join is a SHUFFLE join on shingle, so no
-    # re-spread needed
-    sh = _reuse(shingle_table(_spread(df), text_col, id_col, k), spread=False)
-    if max_doc_freq is not None:
-        # checkpoint the CAPPED stream too (a cheap map-side pass over the
-        # first checkpoint) so the three consumers below scan it directly
-        # instead of re-deriving the anti-join per consumer
-        sh = _reuse(capped_shingles(sh, max_doc_freq), spread=False)
+    # ONE checkpoint of the (capped) shingle stream — every consumer below
+    # (sizes + both self-join sides) rereads it; the self-join is a SHUFFLE
+    # join on shingle, so no re-spread needed. With a cap, the freq-count
+    # subplan and the capped projection each compute the shingle fan-out
+    # once inside the same materialization job — two passes over the corpus
+    # but a single checkpoint write, which measures faster than
+    # checkpoint-then-cap-then-checkpoint at every scale tried.
+    raw = shingle_table(_spread(df), text_col, id_col, k)
+    sh = _reuse(
+        raw if max_doc_freq is None else capped_shingles(raw, max_doc_freq),
+        spread=False,
+    )
     sh = _banding_diag("jaccard.shingles_after_cap", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
