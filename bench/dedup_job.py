@@ -211,6 +211,12 @@ def main() -> None:
     pairs = star_chain_pairs(spark, args.leaves).localCheckpoint()
     out: dict = {}
 
+    # session warm-up (JVM JIT + codegen + shuffle machinery): the first
+    # measured family would otherwise eat it, biasing the r5-vs-r4 pairings
+    # that run back to back
+    D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5,
+                    max_doc_freq=64).count()
+
     t0 = time.time()
     measure(watch, "jaccard_groupby_cap", lambda: D.jaccard_pairs(
         docs, "text", "doc_id", k=3, threshold=0.5, max_doc_freq=64), out)
