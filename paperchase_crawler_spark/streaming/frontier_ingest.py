@@ -122,7 +122,17 @@ def _require_tip_adoptable(tbl: IceTable, name: str) -> None:
                 f"ingest refused: {name} tip does not descend from the crawl "
                 f"checkpoint snapshot {target} — resume the crawl first"
             )
-        snap = tbl.snapshot(sid)
+        try:
+            snap = tbl.snapshot(sid)
+        except FileNotFoundError:
+            # a chain snapshot was expired out from under the walk — the
+            # state is unverifiable, which gets the same refusal (never an
+            # obscure crash in the stream sink)
+            raise ValueError(
+                f"ingest refused: {name} snapshot {sid} on the tip's parent "
+                f"chain is missing (expired?) — cannot verify the tip is "
+                "adoptable; run CrawlRunner.resume() first"
+            ) from None
         if "ingest_epochs" not in snap["meta"]:
             raise ValueError(
                 f"ingest refused: {name} tip (snapshot {sid}) is uncommitted "

@@ -569,3 +569,15 @@ def test_auto_n_blocks_scales_with_corpus():
 
     nb = D.auto_n_blocks(10**14, 64, 6)
     assert comb(nb, 6) <= D.MAX_REPLICATION
+
+
+def test_dedup_edge_empty_inputs(spark):
+    """Empty corpora flow through the adaptive/banded paths and the cluster
+    resolver without special-casing: zero rows out, no layout blow-ups."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.jaccard_pairs(docs, "text", "doc_id", 3, 0.5, max_doc_freq=4).count() == 0
+    assert D.simhash_pairs(docs, "text", "doc_id").count() == 0
+    imgs = spark.createDataFrame([], "image_id long, phash long")
+    assert D.image_dup_pairs(imgs, "phash", "image_id").count() == 0
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.dup_clusters(pairs).count() == 0
