@@ -95,8 +95,10 @@ def md5_int60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-def word_kgrams(text: Column, k: int) -> Column:
-    """Array of word k-gram strings (space-joined), deduplicated."""
+def word_kgrams(text: Column, k: int, distinct: bool = True) -> Column:
+    """Array of word k-gram strings (space-joined), deduplicated by default.
+    ``distinct=False`` skips the dedup pass for consumers whose reduction is
+    duplicate-insensitive (min/minhash)."""
     w = words(text)
     n = F.size(w)
     grams = F.when(
@@ -106,10 +108,12 @@ def word_kgrams(text: Column, k: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(w, i, k)),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def fingerprint(text: Column, k: int = 4) -> Column:
     """Document fingerprint: min md5-int over word k-grams (min-hash with a
-    single hash function — the classic rolling-fingerprint reduction)."""
-    return F.array_min(F.transform(word_kgrams(text, k), md5_int60))
+    single hash function — the classic rolling-fingerprint reduction).
+    min over the gram multiset == min over the distinct set, so the
+    array_distinct pass (a hash set over every gram string) is skipped."""
+    return F.array_min(F.transform(word_kgrams(text, k, distinct=False), md5_int60))

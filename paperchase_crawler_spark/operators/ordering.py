@@ -125,12 +125,26 @@ def global_topk_ranked(
     )
 
 
+# Below this k, sort+limit plans as TakeOrderedAndProject: every partition
+# keeps a k-row bounded heap and only P×k rows reach the final merge — no
+# range-exchange, no sampling pass, no counts job, and no full sort of any
+# partition. Above it, P×k rows through one merge stops being small and the
+# range-partitioned path (sampling job + counts job, but fully distributed)
+# wins. 64k keeps the merge ≤ a few MB per thousand partitions.
+TAKE_ORDERED_MAX_K = 65_536
+
+
 def global_topk(df: DataFrame, keys: list[str], k: int) -> DataFrame:
-    """Exact smallest-k rows by ``keys``. Only the single boundary range
+    """Exact smallest-k rows by ``keys``. Small k (the common case: crawl
+    budgets, report top-k) goes through sort+limit = TakeOrderedAndProject —
+    per-partition bounded heaps, one job, zero extra actions. Large k keeps
+    the range-partitioned exact cut: only the single boundary range
     partition pays a window; partitions entirely inside/outside the cut are
     passed/dropped by a metadata-only filter."""
     if k <= 0:
         return df.limit(0)
+    if k <= TAKE_ORDERED_MAX_K:
+        return df.orderBy(*[F.col(kk).asc() for kk in keys]).limit(k)
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
     counts = sorted(
         (r[_PID], r["cnt"])

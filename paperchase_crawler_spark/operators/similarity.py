@@ -99,6 +99,14 @@ def with_lsh_bucket(
         ).collect(),
         key=lambda r: r["plane_idx"],
     )
+    # both paths OR the plane's sign bit in as 2^plane_idx on a long; past
+    # idx 62 the broadcast path's double→long cast would silently saturate
+    # and smear bits across the mask — fail loudly instead (ADVICE r5)
+    if rows and int(max(r["plane_idx"] for r in rows)) > 62:
+        raise ValueError(
+            "with_lsh_bucket supports plane_idx <= 62 (bucket bits live in "
+            f"one signed long); got {max(r['plane_idx'] for r in rows)}"
+        )
     dim = len(rows[0]["pv"]) if rows else 0
     if _assign_mode(len(rows), dim, assign_path) == "literal":
         v = F.col(vec_col).cast("array<double>")
@@ -234,16 +242,30 @@ def ivf_topk(
         # verdict's watch item); here assignment is narrow map-side work
         # with ZERO shuffle — the only cost is the nlist × dim broadcast
         # (~2 MB at 4096×64 doubles).
+        # centroid norm precomputed ONCE per centroid on the broadcast build
+        # side (same sequential _norm fold → bit-identical quotient) — the r5
+        # form recomputed _norm(c['cv']) inside the per-row transform, paying
+        # nlist × dim multiply-adds per corpus row for values that never
+        # change (ADVICE r5)
         cent_row = centroids.select(
             F.struct(
                 F.col("cell_idx").cast("int").alias("cell_idx"),
                 F.col(vec_col).cast("array<double>").alias("cv"),
             ).alias("c")
-        ).agg(F.array_sort(F.collect_list("c")).alias("__cells"))
+        ).agg(
+            F.transform(
+                F.array_sort(F.collect_list("c")),
+                lambda c: F.struct(
+                    c["cell_idx"].alias("cell_idx"),
+                    c["cv"].alias("cv"),
+                    _norm(c["cv"]).alias("cn"),
+                ),
+            ).alias("__cells")
+        )
         scored_cells = F.transform(
             F.col("__cells"),
             lambda c: F.struct(
-                (_dot(F.col("v"), c["cv"]) / _norm(c["cv"])).alias("s"),
+                (_dot(F.col("v"), c["cv"]) / c["cn"]).alias("s"),
                 c["cell_idx"].alias("cell_idx"),
             ),
         )

@@ -929,9 +929,46 @@ FROM documents GROUP BY source
 
 
 def q_langid(spark, sf):
+    """Stopword-hit language ID, STAGED: the lowered-token array and each
+    language's hit count become real projected columns, so each is evaluated
+    once per row. The r1-r5 single-column T.langid(text) form repeated the
+    split+lower subtree inside every language's filter and every tie-break
+    comparison — 5× the lower() calls and 10+ copies of the token-array
+    subtree for Catalyst to (maybe) CSE (guide §1.2 "per-task work").
+    CollapseProject keeps the stages: each alias is non-cheap and referenced
+    more than once. Output identical to T.langid by construction (same hit
+    counts, same argmax, same earlier-language tie-break — pinned by a
+    parity test)."""
     d = _t(spark, sf, "documents")
+    langs = list(T.STOPWORDS)
+    staged = d.select(
+        "lang", F.transform(T.words(F.col("text")), F.lower).alias("__lw")
+    )
+    def _hit_fn(lg: str):
+        # factory, not a default-arg lambda: pyspark reads the lambda's arity
+        # to pick the (element) vs (element, index) form
+        sw = F.array(*[F.lit(x) for x in T.STOPWORDS[lg]])
+        return lambda w: F.array_contains(sw, w)
+
+    hits = staged.select(
+        "lang",
+        *[
+            F.size(F.filter(F.col("__lw"), _hit_fn(lg))).alias(f"__h_{lg}")
+            for lg in langs
+        ],
+    )
+    scored = hits.withColumn(
+        "__best", F.greatest(*[F.col(f"__h_{lg}") for lg in langs])
+    )
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties via later when() precedence
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"__h_{lg}") == F.col("__best")) & (F.col("__best") > 0),
+            F.lit(lg),
+        ).otherwise(pred)
     return (
-        d.select("lang", T.langid(F.col("text")).alias("predicted"))
+        scored.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )

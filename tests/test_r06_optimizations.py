@@ -1,0 +1,159 @@
+"""Round-6 optimization parity pins: every rewrite that changed an
+operator's internals must produce BIT-IDENTICAL results to the r5 form it
+replaced (the optimization round's contract: faster, never different).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from paperchase_crawler_spark.functions import text as T
+from paperchase_crawler_spark.functions.text import md5_int60
+from paperchase_crawler_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _simhash64_r5(df, text_col, id_col, bits=D.SIMHASH_BITS):
+    """The r5 per-bit SUM(CASE) reference implementation, kept verbatim as
+    the parity oracle for the packed-vote rewrite."""
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    ).withColumn("wh", md5_int60(F.col("word")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def test_simhash_packed_votes_match_per_bit_reference(spark):
+    docs = _docs(spark)
+    got = {r.doc_id: r.simhash for r in D.simhash64(docs, "text", "doc_id").collect()}
+    want = {
+        r.doc_id: r.simhash for r in _simhash64_r5(docs, "text", "doc_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_packed_votes_edge_docs(spark):
+    # single word, repeated word (distinct → one vote), exact tie on a bit
+    # (2 words: count==1, 2*1 > 2 false → bit 0 like the ±1 sum's v=0)
+    rows = [(1, "alpha"), (2, "alpha alpha alpha"), (3, "alpha beta"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in D.simhash64(df, "text", "doc_id").collect()}
+    want = {r.doc_id: r.simhash for r in _simhash64_r5(df, "text", "doc_id").collect()}
+    assert got == want
+    assert got[1] == got[2]  # distinct words → same single-word vote
+
+
+def test_simhash_packed_lane_overflow_raises(spark):
+    import pytest
+
+    # 2^lane distinct words would overflow a 2-bit lane: force tiny lanes by
+    # calling with bits=6 (lane=2, capacity 4) on a 5-distinct-word doc
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        D.simhash64(df, "text", "doc_id", bits=6).collect()
+    assert "lane overflow" in str(ei.value)
+
+
+def test_langid_staged_matches_column_form(spark):
+    from paperchase_crawler_spark.plans.driver_queries import q_langid
+
+    got = sorted(
+        (r.lang, r.predicted, r.n) for r in q_langid(spark, SF).collect()
+    )
+    d = _docs(spark)
+    want = sorted(
+        (r.lang, r.predicted, r.n)
+        for r in d.select("lang", T.langid(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_fingerprint_nondistinct_matches_distinct(spark):
+    d = _docs(spark)
+    a = d.select(
+        "doc_id",
+        F.array_min(
+            F.transform(T.word_kgrams(F.col("text"), 4, distinct=True), md5_int60)
+        ).alias("fp"),
+    )
+    b = d.select("doc_id", T.fingerprint(F.col("text"), 4).alias("fp"))
+    ga = {r.doc_id: r.fp for r in a.collect()}
+    gb = {r.doc_id: r.fp for r in b.collect()}
+    assert ga == gb and len(ga) > 0
+
+
+def test_global_topk_small_k_is_take_ordered(spark):
+    """Small k must plan as TakeOrderedAndProject (bounded per-partition
+    heaps, no range exchange, no sampling/count jobs); large k keeps the
+    range-partitioned exact cut."""
+    from paperchase_crawler_spark.operators.ordering import (
+        TAKE_ORDERED_MAX_K,
+        global_topk,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 13).alias("depth"), F.col("id").alias("disc_seq")
+    )
+    plan = global_topk(df, ["depth", "disc_seq"], 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    big = global_topk(df, ["depth", "disc_seq"], TAKE_ORDERED_MAX_K + 1)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan_big
+
+
+def test_minhash_numeric_band_keys_match_string_form(spark):
+    """The (band, bk0..bk{r-1}) long-tuple join key must produce the exact
+    pair set of the r5 concat_ws string-bucket form (equality of the long
+    tuple ⟺ equality of the joined string — md5_int60 renders commaless)."""
+    docs = _docs(spark)
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id", k=3, n_hashes=8, bands=4).collect()
+    )
+    # reference: brute-force recompute of band collisions in python
+    sig = D.minhash_signatures(docs, "text", "doc_id", k=3, n_hashes=8).collect()
+    sigs = {r.doc_id: [r[f"h{i}"] for i in range(8)] for r in sig}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            for band in range(4):
+                if (
+                    sigs[a][2 * band] == sigs[b][2 * band]
+                    and sigs[a][2 * band + 1] == sigs[b][2 * band + 1]
+                ):
+                    want.add((a, b))
+                    break
+    assert got == sorted(want) and len(got) > 0
+
+
+def test_hamming_reuses_materialized_count(spark):
+    """auto_n_blocks must read the _pc_rows stamp from the materialization
+    instead of launching its own count job (r5 verdict What's-wrong #2)."""
+    df = spark.createDataFrame(
+        [(i, i * 7919) for i in range(100)], "doc_id long, h long"
+    )
+    m = D._reuse(D._spread(df))
+    assert getattr(m, "_pc_rows", None) == 100
+    # reused path keeps the stamp through the projection
+    out = D.hamming_dup_pairs(m, "h", "doc_id", bits=60, max_hamming=3, reused=True)
+    out.collect()  # plan builds + runs without an extra count
