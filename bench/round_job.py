@@ -110,20 +110,22 @@ def run_round_bench(
             .write.mode("overwrite").format("noop").save()
         )
 
-    # SELECT (narrow bucket merge + cuts, fused rank)
+    # SELECT (narrow bucket merge + cuts, fused rank). Lazy checkpoint: the
+    # count is the materializing job — one job instead of two.
     t0 = time.time()
-    ranked = _select().localCheckpoint()
+    ranked = _select().localCheckpoint(eager=False)
     n_selected = ranked.count()
     t_select = time.time() - t0
 
     # FETCH pass 1: outlinks + has_image, rebalanced across all cores.
     # Explicit partition count — an un-numbered repartition gets AQE-
-    # coalesced by byte size, starving the Python stage.
+    # coalesced by byte size, starving the Python stage. Lazy checkpoint:
+    # the metrics agg below materializes it.
     t0 = time.time()
     fetched = (
         ranked.repartition(n_parts, F.col("url_hash"))
         .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     agg = fetched.agg(
         F.count("*").alias("n"),
@@ -154,7 +156,7 @@ def run_round_bench(
     seen = spark.read.parquet(*all_files).select("url_hash")
     bloom = BloomSeen(n_buckets=1024, m_bits=1 << 18, k=7)
     t0 = time.time()
-    shards = bloom.build(seen).localCheckpoint()
+    shards = bloom.build(seen).localCheckpoint(eager=False)
     shards.count()
     t_bloom_build = time.time() - t0
 

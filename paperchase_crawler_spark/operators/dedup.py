@@ -212,18 +212,18 @@ def jaccard_pairs(
     ``max_doc_freq`` drops ubiquitous shingles before the self-join (the skew
     defense at scale: a shingle in f docs contributes f² join rows).
     """
-    # ONE checkpoint of the (capped) shingle stream — every consumer below
-    # (sizes + both self-join sides) rereads it; the self-join is a SHUFFLE
-    # join on shingle, so no re-spread needed. With a cap, the freq-count
-    # subplan and the capped projection each compute the shingle fan-out
-    # once inside the same materialization job — two passes over the corpus
-    # but a single checkpoint write, which measures faster than
-    # checkpoint-then-cap-then-checkpoint at every scale tried.
-    raw = shingle_table(_spread(df), text_col, id_col, k)
-    sh = _reuse(
-        raw if max_doc_freq is None else capped_shingles(raw, max_doc_freq),
-        spread=False,
-    )
+    # ONE checkpoint of the RAW shingle stream — the gram fan-out (split +
+    # k-gram HOFs over every doc) is the dominant per-row cost and now runs
+    # exactly once; every consumer below (the over-cap freq count, sizes,
+    # both self-join sides) rereads the checkpoint. The cap itself stays a
+    # broadcast anti-join applied on top of the checkpoint — a hash probe
+    # per row, which three consumers re-evaluating costs far less than the
+    # r5 shape's SECOND full fan-out pass inside the materialization job
+    # (there the freq-count subplan and the capped projection each exploded
+    # the corpus). The self-join is a SHUFFLE join on shingle, so no
+    # re-spread needed.
+    raw = _reuse(shingle_table(_spread(df), text_col, id_col, k), spread=False)
+    sh = raw if max_doc_freq is None else capped_shingles(raw, max_doc_freq)
     sh = _banding_diag("jaccard.shingles_after_cap", sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")

@@ -491,20 +491,25 @@ def select_frontier_round(
         spark, tbl, max_tokens, budget, prune_overscan, max_scan_frac
     )
     if tau is None:
-        ranked = global_topk_ranked(_cut(cand), R3_KEYS, budget, "seq", rank_start)
-        return ranked, {**info, "fallback": False}
+        ranked, n_sel = global_topk_ranked(
+            _cut(cand), R3_KEYS, budget, "seq", rank_start, with_total=True
+        )
+        return ranked, {**info, "fallback": False, "n_selected": n_sel}
     below = (F.col("depth") < tau[0]) | (
         (F.col("depth") == tau[0]) & (F.col("disc_seq") < tau[1])
     )
-    ranked, n_below = global_topk_ranked(
-        _cut(cand), R3_KEYS, budget, "seq", rank_start, count_pred=below
+    ranked, n_below, n_sel = global_topk_ranked(
+        _cut(cand), R3_KEYS, budget, "seq", rank_start, count_pred=below,
+        with_total=True,
     )
     if n_below >= budget:
-        return ranked, {**info, "fallback": False}
+        return ranked, {**info, "fallback": False, "n_selected": n_sel}
     # the skipped buckets might have contributed — exact fallback: full scan
     full = select_candidates(spark, tbl, max_tokens)
-    ranked = global_topk_ranked(_cut(full), R3_KEYS, budget, "seq", rank_start)
-    return ranked, {**info, "fallback": True}
+    ranked, n_sel = global_topk_ranked(
+        _cut(full), R3_KEYS, budget, "seq", rank_start, with_total=True
+    )
+    return ranked, {**info, "fallback": True, "n_selected": n_sel}
 
 
 def exact_per_host_cut(candidates: DataFrame, salts: int) -> DataFrame:

@@ -27,34 +27,50 @@ _RN = "__rn"
 
 def _range_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # repartitionByRange executes its CHILD twice per action: once in the
+    # range-boundary sampling pass, once in the real shuffle-map pass. The
+    # children fed to the rank operators are exactly the expensive cut
+    # lineages (bucket Arrow scans, salted windows, UDF-bearing expand
+    # plans), so a lazy local checkpoint in between makes the child compute
+    # once — the sampling pass materializes it and the map pass reads the
+    # cached blocks (guide §2.4 "remove shuffles/passes outright").
     return (
-        df.repartitionByRange(n, *[F.col(k) for k in keys])
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(n, *[F.col(k) for k in keys])
         .withColumn(_PID, F.spark_partition_id())
     )
 
 
 def with_global_rank(
-    df: DataFrame, keys: list[str], rank_col: str, start: int = 0
-) -> DataFrame:
+    df: DataFrame, keys: list[str], rank_col: str, start: int = 0,
+    with_total: bool = False,
+):
     """Add ``rank_col`` = 0-based position of each row in the total order
-    given by ``keys`` (ascending), offset by ``start``. Exact, distributed."""
+    given by ``keys`` (ascending), offset by ``start``. Exact, distributed.
+    ``with_total`` returns ``(df, total_rows)`` — the count is already known
+    from the per-partition counts job, so callers needing it skip their own
+    count action."""
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
     counts = {
         r[_PID]: r["cnt"]
         for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
     }
+
+    def _ret(out: DataFrame):
+        return (out, sum(counts.values())) if with_total else out
+
     offsets: dict[int, int] = {}
     acc = start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     if not offsets:
-        return df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
+        return _ret(df.withColumn(rank_col, F.lit(0).cast("long")).limit(0))
     off_map = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy(_PID).orderBy(*[F.col(k).asc() for k in keys])
-    return (
+    return _ret(
         part.withColumn(_RN, F.row_number().over(w))
         .withColumn(
             rank_col,
@@ -71,6 +87,7 @@ def global_topk_ranked(
     rank_col: str,
     start: int = 0,
     count_pred=None,
+    with_total: bool = False,
 ):
     """Exact smallest-k rows by ``keys`` WITH their global 0-based rank
     (+``start``), in one range-partition pass — fuses global_topk +
@@ -80,12 +97,18 @@ def global_topk_ranked(
     ``count_pred`` (a boolean Column) piggybacks an exact predicate count on
     the SAME per-partition counts job and changes the return to
     ``(df, n_pred)`` — the zone-map pruned SELECT uses it to verify its
-    exactness bound without a second pass (frontier_select)."""
+    exactness bound without a second pass (frontier_select). ``with_total``
+    appends ``min(k, total_rows)`` — the exact output size, already known
+    from the per-partition counts — so callers can size downstream stages
+    (the fetch partition count) without their own count job."""
     if k <= 0:
         # guard BEFORE any job: an empty offsets map would otherwise build
         # create_map() of VOID type (found by the budget=0 edge test)
         empty = df.withColumn(rank_col, F.lit(0).cast("long")).limit(0)
-        return empty if count_pred is None else (empty, 0)
+        out = (empty,) if count_pred is None else (empty, 0)
+        if with_total:
+            out = (*out, 0)
+        return out[0] if len(out) == 1 else out
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
     aggs = [F.count("*").alias("cnt")]
     if count_pred is not None:
@@ -93,9 +116,13 @@ def global_topk_ranked(
     rows = part.groupBy(_PID).agg(*aggs).collect()
     counts = sorted((r[_PID], r["cnt"]) for r in rows)
     n_pred = sum(r["npred"] for r in rows) if count_pred is not None else None
+    n_out = min(k, sum(c for _, c in counts))
 
     def _ret(out: DataFrame):
-        return out if count_pred is None else (out, n_pred)
+        parts = (out,) if count_pred is None else (out, n_pred)
+        if with_total:
+            parts = (*parts, n_out)
+        return parts[0] if len(parts) == 1 else parts
 
     if not counts:
         return _ret(df.withColumn(rank_col, F.lit(0).cast("long")).limit(0))

@@ -337,11 +337,23 @@ def lsh_bucketed_topk(
     IDENTICAL to the unguarded plan (property-tested); only the max task
     size changes. The within-bucket candidate count is semantic (search the
     whole bucket), so the guard bounds skew, not total work."""
-    with_b = with_lsh_bucket(corpus, planes, vec_col, id_col, assign_path).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        "bucket",
-    ).withColumn("n", _norm(F.col("v")))
+    from .dedup import _reuse, _spread
+
+    # spread the (possibly single-file) corpus scan so the per-row plane
+    # dots use every core, then materialize the bucketed table ONCE — the
+    # hot-bucket count, the query side, and the neighbour side all read it
+    # (the r5 shape recomputed scan + bucket codes three times); honors the
+    # suite-wide set_materialize_mode knob like the dedup operators.
+    with_b = _reuse(
+        with_lsh_bucket(_spread(corpus), planes, vec_col, id_col, assign_path)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            "bucket",
+        )
+        .withColumn("n", _norm(F.col("v"))),
+        spread=False,
+    )
     if hot_bucket_cap is None:
         a, b = with_b.alias("a"), with_b.alias("b")
         cand = a.join(b, on="bucket")

@@ -75,6 +75,11 @@ FRONTIER_COLS = [
     "priority", "state", "round_disc", "round_done",
 ]
 
+# fetch-stage sizing floor: enough URLs per Python task to amortize the
+# worker round-trip; the shuffle.partitions cap keeps production rounds at
+# full cluster width (a 400k-URL round still fans out to every slot)
+FETCH_URLS_PER_TASK = 16
+
 
 class CrawlRunner:
     def __init__(
@@ -159,6 +164,20 @@ class CrawlRunner:
 
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()
+        self._round_persists.append(out)
+        return out
+
+    def _materialize_lazy(self, df: DataFrame) -> DataFrame:
+        """Same lineage cut as _materialize, but WITHOUT its own
+        materializing job: the caller's immediately-following action (a
+        metrics collect, a counts job) computes every partition and thereby
+        materializes the checkpoint/persist as a side effect — one job where
+        the eager form paid two (guide §1.2: per-round fixed costs)."""
+        if self.checkpoint == "local":
+            return df.localCheckpoint(eager=False)
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
         self._round_persists.append(out)
         return out
 
@@ -449,7 +468,8 @@ class CrawlRunner:
             for h in simweb.host_state_rows(last_round=-(10**6))
         ]
         hs = spark.createDataFrame(host_rows, HOST_STATE)
-        max_tok = hs.agg(F.max("tokens_per_round")).collect()[0][0]
+        # host_rows is driver-local — the bound check needs no Spark job
+        max_tok = max(r[2] for r in host_rows)
         if max_tok > self.max_tokens:
             raise ValueError(
                 f"host_state tokens_per_round max {max_tok} exceeds the "
@@ -470,8 +490,10 @@ class CrawlRunner:
             .agg(F.min(F.struct("seed_idx", "canon_url")).alias("s"))
             .select("url_hash", "s.seed_idx", "s.canon_url")
         )
-        ranked = with_global_rank(dedup, ["seed_idx"], "disc_seq", start=0)
-        n_seeds = ranked.count()
+        # the rank op's counts job already knows the total — no second count
+        ranked, n_seeds = with_global_rank(
+            dedup, ["seed_idx"], "disc_seq", start=0, with_total=True
+        )
         rows = self._new_frontier_rows(
             ranked.withColumn("depth", F.lit(0)), round_disc=0
         )
@@ -587,12 +609,26 @@ class CrawlRunner:
         # and these rows are tiny but each costs real Python fetch work —
         # AQE would starve the stage down to ~4 tasks. Image bytes never
         # enter this plan: they stream through pass 2 into the corpus sink.
+        # The count is SIZE-ADAPTIVE: n_selected is already exact from the
+        # budget cut's counts job (guide §2: derive partitioning from input
+        # size, not a constant) — small rounds stop paying shuffle.partitions
+        # worth of Python task round-trips, large rounds keep the full width.
+        n_sel_exact = prune_info.get("n_selected")
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if n_sel_exact == 0:
+            # nothing selectable this round: commit the checkpoint without
+            # launching the fetch/expand machinery at all
+            self.round = r
+            self._commit_checkpoint()
+            return {"round": r, "n_selected": 0, "n_new": 0, "n_images": 0}
+        if n_sel_exact is not None:
+            n_parts = max(1, min(n_parts, -(-n_sel_exact // FETCH_URLS_PER_TASK)))
         fetched = (
             ranked.repartition(n_parts, F.col("url_hash"))
             .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
         )
-        fetched = self._materialize(fetched)
+        # lazy cut: the metrics collect right below is the materializing job
+        fetched = self._materialize_lazy(fetched)
         # every selected row is fetched (robots-blocked rows never enqueue as
         # 'queued' — see _new_frontier_rows), so the per-partition lineage is
         # (n_fetched, n_images, n_outlinks); the round's enqueue-time blocked
@@ -675,7 +711,9 @@ class CrawlRunner:
             # Bloom suspects hash into, never the whole seen set
             new, seen_info = filter_new_bucketed(
                 spark, dedup, self.seen, self.bloom, shards, self.seen_buckets,
-                materialize=self._materialize,
+                # lazy: the probe's suspect-bucket counts job (the very next
+                # action inside filter_new_bucketed) materializes the cut
+                materialize=self._materialize_lazy,
             )
         else:
             new = filter_new(dedup, self.seen.read(spark))
@@ -688,7 +726,10 @@ class CrawlRunner:
             "depth",
             F.col("disc_seq_new").alias("disc_seq"),
         )
-        new_rows = self._materialize(self._new_frontier_rows(new_ranked, round_disc=r))
+        # lazy cut: the state-count agg right below is the materializing job
+        new_rows = self._materialize_lazy(
+            self._new_frontier_rows(new_ranked, round_disc=r)
+        )
         # one agg job gives both the new-row total AND the enqueue-time
         # robots-blocked split (the lineage number the crawl_log reports)
         state_counts = {
