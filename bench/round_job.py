@@ -48,7 +48,7 @@ def run_round_bench(
         OUTLINKS_SCHEMA,
         canonicalize_udf,
         fetch_images_map_in_arrow,
-        fetch_outlinks_map_in_pandas,
+        fetch_outlinks_map_in_arrow,
     )
     from paperchase_crawler_spark.operators.frontier_select import (
         select_candidates,
@@ -106,7 +106,7 @@ def run_round_bench(
         w = _select().limit(40_000).localCheckpoint()
         (
             w.repartition(n_parts, F.col("url_hash"))
-            .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
+            .mapInArrow(fetch_outlinks_map_in_arrow(), OUTLINKS_SCHEMA)
             .write.mode("overwrite").format("noop").save()
         )
 
@@ -124,7 +124,7 @@ def run_round_bench(
     t0 = time.time()
     fetched = (
         ranked.repartition(n_parts, F.col("url_hash"))
-        .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
+        .mapInArrow(fetch_outlinks_map_in_arrow(), OUTLINKS_SCHEMA)
         .localCheckpoint(eager=False)
     )
     agg = fetched.agg(

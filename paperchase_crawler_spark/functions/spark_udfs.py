@@ -77,6 +77,59 @@ def fetch_outlinks_map_in_pandas():
     return _fetch
 
 
+def fetch_outlinks_map_in_arrow():
+    """Pass-1 fetch, Arrow-native (mapInArrow): the outlink list column is
+    assembled as a ``pa.ListArray`` over a flat string array built by
+    vectorized pyarrow kernels (simweb.outlinks_batch_arrow) — no pandas
+    block manager and, unlike the pandas form, NO per-link Python string
+    objects (~1M per 2M-URL round). Same output as
+    fetch_outlinks_map_in_pandas (parity-pinned in tests/test_simweb.py);
+    this is the production hot path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark import TaskContext
+
+    from .hashing import xxh64_u64_vec
+
+    def _fetch(batches):
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            hashes = cols["url_hash"].to_numpy(zero_copy_only=False)
+            u = hashes.view(np.uint64)
+            with np.errstate(over="ignore"):
+                has = (
+                    xxh64_u64_vec(u * np.uint64(5)) % np.uint64(10)
+                ) < np.uint64(3)
+            offsets, flat = simweb.outlinks_batch_arrow(hashes)
+            n = rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["canon_url"].cast(pa.string()),
+                    cols["url_hash"].cast(pa.int64()),
+                    cols["host"].cast(pa.string()),
+                    cols["depth"].cast(pa.int32()),
+                    cols["disc_seq"].cast(pa.int64()),
+                    cols["round_disc"].cast(pa.int32()),
+                    cols["seq"].cast(pa.int64()),
+                    pa.array(np.full(n, 200, dtype=np.int32)),
+                    pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat),
+                    pa.array(has),
+                    pa.array(np.full(n, pid, dtype=np.int32)),
+                ],
+                names=[
+                    "canon_url", "url_hash", "host", "depth", "disc_seq",
+                    "round_disc", "seq", "status", "outlinks", "has_image",
+                    "fetch_partition",
+                ],
+            )
+
+    return _fetch
+
+
 def fetch_images_map_in_pandas(with_bytes: bool = True):
     """Pass-2 fetch: decode/synthesize + encode images for rows already known
     to carry one; output is corpus-shaped and goes straight to the sink."""

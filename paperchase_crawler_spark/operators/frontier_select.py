@@ -279,7 +279,16 @@ def compute_frontier_zones(
     if not files:
         return {}
     if sum(_os.path.getsize(f) for f in files) <= (64 << 20):
-        return {f: _zone_stats_one(f, max_tokens) for f in files}
+        if len(files) <= 2:
+            return {f: _zone_stats_one(f, max_tokens) for f in files}
+        # threaded: pyarrow reads release the GIL and the numpy kernels are
+        # short — a serial loop over a bucketed commit's n_buckets files was
+        # driver wall on every round's commit path
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(files))) as pool:
+            stats = pool.map(lambda f: _zone_stats_one(f, max_tokens), files)
+            return dict(zip(files, stats))
 
     def _stats(batches):
         import pyarrow as pa

@@ -55,7 +55,7 @@ from ..functions.spark_udfs import (
     OUTLINKS_SCHEMA,
     canonicalize_udf,
     fetch_images_map_in_arrow,
-    fetch_outlinks_map_in_pandas,
+    fetch_outlinks_map_in_arrow,
 )
 from ..operators.frontier_select import (
     compacted_frontier,
@@ -625,7 +625,7 @@ class CrawlRunner:
             n_parts = max(1, min(n_parts, -(-n_sel_exact // FETCH_URLS_PER_TASK)))
         fetched = (
             ranked.repartition(n_parts, F.col("url_hash"))
-            .mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA)
+            .mapInArrow(fetch_outlinks_map_in_arrow(), OUTLINKS_SCHEMA)
         )
         # lazy cut: the metrics collect right below is the materializing job
         fetched = self._materialize_lazy(fetched)

@@ -230,6 +230,50 @@ def outlinks_batch(url_hash: np.ndarray) -> list[list[str]]:
     return out
 
 
+def outlinks_batch_arrow(url_hash: np.ndarray):
+    """Arrow-native outlink extraction: returns (offsets, flat_urls) for a
+    ``pa.ListArray`` — the same links as ``outlinks_batch`` (property-tested)
+    but assembled entirely inside numpy + pyarrow compute, so no Python
+    string object is ever created. The f-string comprehension in
+    ``outlinks_batch`` was ~1M interpreter-built strings per 2M-URL frontier
+    round (guide §4.2: hand whole batches to vectorized native kernels)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    u = url_hash.astype(np.int64).view(np.uint64)
+    m = len(u)
+    if m == 0:
+        return np.zeros(1, dtype=np.int32), pa.array([], type=pa.string())
+    n = (xxh64_u64_vec(u) % np.uint64(MAX_LINKS)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        base13 = u * np.uint64(13)
+        base17 = u * np.uint64(17)
+        i_cols = np.arange(MAX_LINKS, dtype=np.uint64)
+        hz = xxh64_u64_vec((base13[:, None] + i_cols[None, :]).ravel()).reshape(
+            m, MAX_LINKS
+        )
+        pid = (
+            xxh64_u64_vec((base17[:, None] + i_cols[None, :]).ravel()).reshape(
+                m, MAX_LINKS
+            )
+            % np.uint64(PAGES_PER_HOST)
+        ).astype(np.int64)
+    z = np.searchsorted(_ZIPF_CDF, hz / 2.0**64, side="right")
+    # row-major mask flattening keeps (row, link-position) order — R4
+    mask = np.arange(MAX_LINKS)[None, :] < n[:, None]
+    flat = pc.binary_join_element_wise(
+        "https://host",
+        pc.cast(pa.array(z[mask]), pa.string()),
+        ".example/page/",
+        pc.cast(pa.array(pid[mask]), pa.string()),
+        "",
+    )
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(n)]).astype(
+        np.int32
+    )
+    return offsets, flat
+
+
 def images_batch(url_hash: np.ndarray, with_bytes: bool = True) -> dict:
     """Vectorized image fetch for a batch: dict of aligned arrays/lists.
 

@@ -33,6 +33,20 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _row_counts(files: list[str]) -> dict[str, int]:
+    """Per-file parquet row counts from the footers. Threaded: a commit's
+    footer loop ran serially on the driver (pyarrow releases the GIL), and
+    bucketed commits touch up to n_buckets files — the loop was a visible
+    slice of every crawl round's commit wall."""
+    if len(files) <= 2:
+        return {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(files))) as pool:
+        counts = pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
+        return dict(zip(files, counts))
+
+
 class IceTable:
     # a bucketed snapshot inherits untouched buckets' (manifest pointer +
     # summary) from its parent BY REFERENCE, so a delta commit's snap json
@@ -97,7 +111,7 @@ class IceTable:
             for f in os.listdir(sub)
             if f.endswith(".parquet")
         )
-        counts = {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+        counts = _row_counts(files)
         self.last_commit_bytes = sum(os.path.getsize(f) for f in files)
         return files, counts
 
@@ -210,7 +224,6 @@ class IceTable:
             "parquet.block.size", str(1 << 20)
         ).partitionBy("__fb").parquet(sub)
         buckets: dict[str, list[str]] = {}
-        counts: dict[str, int] = {}
         total_bytes = 0
         for d in sorted(os.listdir(sub)):
             if not d.startswith("__fb="):
@@ -222,9 +235,8 @@ class IceTable:
                 if f.endswith(".parquet")
             )
             buckets[b] = files
-            for f in files:
-                counts[f] = pq.ParquetFile(f).metadata.num_rows
-                total_bytes += os.path.getsize(f)
+            total_bytes += sum(os.path.getsize(f) for f in files)
+        counts = _row_counts([f for fs in buckets.values() for f in fs])
         self.last_commit_bytes = total_bytes
         return buckets, counts
 

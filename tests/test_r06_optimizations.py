@@ -146,6 +146,54 @@ def test_minhash_numeric_band_keys_match_string_form(spark):
     assert got == sorted(want) and len(got) > 0
 
 
+def test_fetch_outlinks_arrow_matches_pandas(spark):
+    """The Arrow-native pass-1 fetch (no Python string objects) must emit
+    byte-identical rows to the pandas form it replaced in the crawl loop."""
+    from pyspark.sql import functions as F
+
+    from paperchase_crawler_spark.functions.spark_udfs import (
+        OUTLINKS_SCHEMA,
+        fetch_outlinks_map_in_arrow,
+        fetch_outlinks_map_in_pandas,
+    )
+
+    df = spark.range(500).select(
+        F.concat(F.lit("https://host"), (F.col("id") % 37).cast("string"),
+                 F.lit(".example/page/"), F.col("id").cast("string")).alias("canon_url"),
+        F.xxhash64(F.concat(F.lit("u"), F.col("id").cast("string"))).alias("url_hash"),
+        F.concat(F.lit("host"), (F.col("id") % 37).cast("string"), F.lit(".example")).alias("host"),
+        (F.col("id") % 5).cast("int").alias("depth"),
+        F.col("id").alias("disc_seq"),
+        F.lit(0).cast("int").alias("round_disc"),
+        F.col("id").alias("seq"),
+    ).repartition(3)
+
+    def rows(out_df):
+        return sorted(
+            (r.canon_url, r.url_hash, r.host, r.depth, r.disc_seq,
+             r.round_disc, r.seq, r.status, tuple(r.outlinks), r.has_image)
+            for r in out_df.collect()
+        )
+
+    got = rows(df.mapInArrow(fetch_outlinks_map_in_arrow(), OUTLINKS_SCHEMA))
+    want = rows(df.mapInPandas(fetch_outlinks_map_in_pandas(), OUTLINKS_SCHEMA))
+    assert got == want and len(got) == 500
+
+
+def test_outlinks_batch_arrow_matches_scalar(spark):
+    import numpy as np
+    import pyarrow as pa
+
+    from paperchase_crawler_spark import simweb
+
+    rng = np.random.default_rng(11)
+    hashes = rng.integers(-2**63, 2**63, 2000, dtype=np.int64)
+    off, flat = simweb.outlinks_batch_arrow(hashes)
+    got = pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), flat).to_pylist()
+    want = [simweb.outlinks_for(int(h)) for h in hashes]
+    assert got == want
+
+
 def test_hamming_reuses_materialized_count(spark):
     """auto_n_blocks must read the _pc_rows stamp from the materialization
     instead of launching its own count job (r5 verdict What's-wrong #2)."""
