@@ -101,12 +101,20 @@ def word_kgrams(text: Column, k: int, distinct: bool = True) -> Column:
     duplicate-insensitive (min/minhash)."""
     w = words(text)
     n = F.size(w)
+    if k <= 8:
+        # unrolled element_at concat: identical string to concat_ws over
+        # slice(w, i, k), but skips allocating a k-element array per gram
+        # (the gram fan-out is the dominant per-row cost of the jaccard /
+        # minhash / fingerprint family)
+        def gram(i):
+            return F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    else:
+        def gram(i):
+            return F.concat_ws(" ", F.slice(w, i, k))
+
     grams = F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-        ),
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), gram),
     ).otherwise(F.expr("array()").cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
 

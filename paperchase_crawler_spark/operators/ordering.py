@@ -109,6 +109,32 @@ def global_topk_ranked(
         if with_total:
             out = (*out, 0)
         return out[0] if len(out) == 1 else out
+    if count_pred is None and k <= TAKE_ORDERED_MAX_K:
+        # small-k fast path: TakeOrderedAndProject emits ONE partition in
+        # sort order (per-partition bounded heaps + ordered merge), so the
+        # global rank is just the positional id — no range exchange, no
+        # boundary-sampling pass, no counts collect: a single job, whose
+        # count doubles as the checkpoint materializer AND the exact output
+        # size for with_total. The partition-id guard raises loudly if a
+        # future Spark ever plans this differently instead of mis-ranking
+        # silently. count_pred callers (the zone-pruned SELECT verify) need
+        # per-partition counts over the FULL survivor set and keep the
+        # range-partitioned path below.
+        top = df.orderBy(*[F.col(kk).asc() for kk in keys]).limit(k)
+        rank = F.when(
+            F.spark_partition_id() == 0,
+            F.monotonically_increasing_id() + F.lit(start).cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "global_topk_ranked: take-ordered path expected a single "
+                    "sorted partition"
+                )
+            ).cast("long")
+        )
+        ranked = top.withColumn(rank_col, rank).localCheckpoint(eager=False)
+        n_out = ranked.count()
+        return (ranked, n_out) if with_total else ranked
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
     aggs = [F.count("*").alias("cnt")]
     if count_pred is not None:

@@ -286,6 +286,12 @@ def ivf_topk(
                 (F.col("__pos") + 1).alias("probe_rank"),
             )
         )
+    # ONE materialization of the assignment — the query side and the
+    # indexed side both read it (each previously recomputed the full
+    # nlist-scoring lineage); honors the suite materialize-mode knob
+    from .dedup import _reuse
+
+    assigned = _reuse(assigned, spread=False)
     a = assigned.alias("a")  # query side: probes nprobe cells
     b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # indexed in top cell
     scored = (

@@ -146,6 +146,92 @@ def test_minhash_numeric_band_keys_match_string_form(spark):
     assert got == sorted(want) and len(got) > 0
 
 
+def test_word_kgrams_unrolled_matches_slice_form(spark):
+    """k<=8 builds grams via unrolled element_at concat — must equal the
+    slice+concat_ws form exactly (incl. short docs and empty strings)."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "one two three"),
+        (3, "solo"),
+        (4, ""),
+        (5, "x " * 12 + "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    def slice_gram_fn(k):
+        # factory, not default-arg lambda (pyspark reads lambda arity)
+        return lambda i: F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), i, k))
+
+    for k in (2, 3, 4, 9):
+        ref = F.when(
+            F.size(F.split(F.col("text"), " ")) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.split(F.col("text"), " ")) - (k - 1)),
+                slice_gram_fn(k),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        got = {r.doc_id: r.g for r in df.select("doc_id", T.word_kgrams(F.col("text"), k, distinct=False).alias("g")).collect()}
+        want = {r.doc_id: r.g for r in df.select("doc_id", ref.alias("g")).collect()}
+        assert got == want, k
+
+
+def test_materialize_mode_context_restores_and_unpersists(spark, tmp_path):
+    """The context manager must restore the previous mode and free every
+    disk-mode persist it created, success or error (ADVICE r5 leak)."""
+    import pytest
+
+    assert D._MATERIALIZE_MODE == "local"
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    # a session-level reliable checkpoint dir (set by earlier tests) makes
+    # disk mode take the df.checkpoint branch — the persist-leak guard only
+    # has something to clean on the persist(DISK_ONLY) fallback
+    persist_path = spark.sparkContext.getCheckpointDir() is None
+    with D.materialize_mode("disk"):
+        assert D._MATERIALIZE_MODE == "disk"
+        m = D._materialize(df)
+        if persist_path:
+            assert m.storageLevel.useDisk and len(D._PERSISTED) == 1
+        assert m._pc_rows == 10
+    assert D._MATERIALIZE_MODE == "local" and len(D._PERSISTED) == 0
+    if persist_path:
+        assert m.storageLevel.useDisk is False  # unpersisted on exit
+    with pytest.raises(RuntimeError):
+        with D.materialize_mode("disk"):
+            D._materialize(df)
+            raise RuntimeError("boom")
+    assert D._MATERIALIZE_MODE == "local" and len(D._PERSISTED) == 0
+
+
+def test_auto_n_blocks_warns_past_banding_horizon():
+    """Past the widest affordable layout the projected rows-per-key exceeds
+    the load target — must warn loudly instead of degrading silently (r5
+    verdict What's-missing #1)."""
+    import warnings
+
+    import pytest
+
+    with pytest.warns(RuntimeWarning, match="widest affordable banding"):
+        nb = D.auto_n_blocks(10**10, 64, 6)
+    assert nb == 9  # still returns the widest layout
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert D.auto_n_blocks(400_000, 64, 6) == 7  # in-horizon: no warning
+
+
+def test_capped_shingles_broadcast_guard(spark):
+    """The over-cap anti-join must drop the broadcast hint when the possible
+    over-cap list is no longer tiny (ADVICE r5: unconditional broadcast was
+    unbounded in corpus size). Both forms produce identical rows."""
+    docs = _docs(spark)
+    sh = D.shingle_table(docs, "text", "doc_id", 3)
+    plan_b = D.capped_shingles(sh, 64, broadcast=True)._jdf.queryExecution().executedPlan().toString()
+    plan_s = D.capped_shingles(sh, 64, broadcast=False)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_b
+    assert "LeftAnti" in plan_s
+    a = sorted((r.doc_id, r.shingle) for r in D.capped_shingles(sh, 8, True).collect())
+    b = sorted((r.doc_id, r.shingle) for r in D.capped_shingles(sh, 8, False).collect())
+    assert a == b and len(a) > 0
+
+
 def test_fetch_outlinks_arrow_matches_pandas(spark):
     """The Arrow-native pass-1 fetch (no Python string objects) must emit
     byte-identical rows to the pandas form it replaced in the crawl loop."""
