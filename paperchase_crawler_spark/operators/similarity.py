@@ -159,6 +159,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_path: str = "auto",
+    hot_cell_cap: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate all-pairs top-k: assign every vector
     to its ``nprobe`` highest-dot-product coarse cells (``centroids`` is a
@@ -169,6 +171,16 @@ def ivf_topk(
     LSH path but with data-adaptive cells. nprobe > 1 is the recall knob:
     queries probe their ``nprobe`` nearest cells (neighbours stay indexed in
     their top-1 cell, the IVF convention).
+
+    ``hot_cell_cap``: skew guard, same construction as lsh_bucketed_topk's
+    hot_bucket_cap. A cell equi-join's parallelism is bounded by the number
+    of POPULATED cells, and clustered corpora pile into few cells (measured:
+    the contract query's 8-cell join ran its ~1M interpreted cosine dots on
+    ≤8 tasks — the whole query was this stage). Cells holding more query
+    rows than the cap get the query side salted by pmod(xxhash64(vid),
+    n_salts) and the indexed side replicated across the salts; every
+    ordered pair still meets at exactly one salt → results are IDENTICAL
+    (property-tested), only the max task size changes.
 
     Output: (query_id, neighbor_id, cosine, rank) for each corpus row with
     ≥1 co-cell neighbour."""
@@ -292,11 +304,56 @@ def ivf_topk(
     from .dedup import _reuse
 
     assigned = _reuse(assigned, spread=False)
-    a = assigned.alias("a")  # query side: probes nprobe cells
-    b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # indexed in top cell
+    if hot_cell_cap is None:
+        a = assigned.alias("a")  # query side: probes nprobe cells
+        b = assigned.filter(F.col("probe_rank") == 1).alias("b")  # top-1 indexed
+        cand = a.join(b, on="cell_idx")
+    else:
+        hot = (
+            assigned.groupBy("cell_idx")
+            .agg(F.count("*").alias("__cn"))
+            .filter(F.col("__cn") > hot_cell_cap)
+            .select("cell_idx", F.lit(True).alias("__hot"))
+        )
+        flagged = assigned.join(F.broadcast(hot), on="cell_idx", how="left")
+        a = flagged.withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64("vid"), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("__hot").alias("a")
+        b = (
+            flagged.filter(F.col("probe_rank") == 1)
+            .withColumn(
+                "__salts",
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("__salt", F.explode("__salts"))
+            .withColumn("__salt", F.col("__salt").cast("int"))
+            .drop("__salts", "__hot")
+            .alias("b")
+        )
+        # explicit-width repartition on the join keys: the candidate join
+        # shuffles a few MB of vectors but computes millions of interpreted
+        # cosine folds — AQE coalesces shuffles by BYTES, so it merged this
+        # compute-bound join down to 1-2 partitions and ran it effectively
+        # single-threaded (measured: the whole contract query was this
+        # stage). An explicit partition count is exempt from AQE coalescing;
+        # the join reuses the partitioning, so no extra exchange appears.
+        npart = int(
+            a.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        a = a.repartition(npart, "cell_idx", "__salt")
+        b = b.repartition(npart, "cell_idx", "__salt")
+        cand = a.join(b, on=["cell_idx", "__salt"]).drop("__salt")
     scored = (
-        a.join(b, on="cell_idx")
-        .filter(F.col("a.vid") != F.col("b.vid"))
+        cand.filter(F.col("a.vid") != F.col("b.vid"))
         .withColumn(
             "cosine", _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
         )
@@ -360,8 +417,14 @@ def lsh_bucketed_topk(
         .withColumn("n", _norm(F.col("v"))),
         spread=False,
     )
+    # explicit-width repartition on the join key(s): the bucket join
+    # shuffles few bytes but computes the all-pairs-within-bucket cosine
+    # folds — AQE coalesces by BYTES and would run this compute-bound join
+    # on 1-2 partitions (see ivf_topk; measured there)
+    npart = int(with_b.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if hot_bucket_cap is None:
-        a, b = with_b.alias("a"), with_b.alias("b")
+        r = with_b.repartition(npart, "bucket")
+        a, b = r.alias("a"), r.alias("b")
         cand = a.join(b, on="bucket")
     else:
         hot = (
@@ -392,6 +455,8 @@ def lsh_bucketed_topk(
             .withColumn("__salt", F.col("__salt").cast("int"))
             .drop("__salts", "__hot")
         )
+        a = a.repartition(npart, "bucket", "__salt")
+        b = b.repartition(npart, "bucket", "__salt")
         cand = a.alias("a").join(b.alias("b"), on=["bucket", "__salt"]).drop("__salt")
     scored = (
         cand.filter(F.col("a.vid") != F.col("b.vid"))

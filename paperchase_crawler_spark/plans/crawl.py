@@ -660,15 +660,22 @@ class CrawlRunner:
 
         _mark("fetch_meta")
 
-        # ordering artifact
-        self.ordering.append(
-            fetched.select("seq", F.lit(r).alias("round"), "canon_url"),
-            meta={"round": r},
-        )
+        # ordering artifact + FETCH pass 2 → corpus sink: both read only the
+        # checkpointed `fetched` and touch their OWN tables, so they join
+        # the concurrent commit pool below (guide §2.6: overlap independent
+        # jobs) instead of serializing here — image synthesis/encode (the
+        # heaviest per-round Python stage) now overlaps EXPAND and the other
+        # commit chains; bytes still stream straight into the append with no
+        # checkpoint (they touch memory once)
+        def _commit_ordering() -> None:
+            self.ordering.append(
+                fetched.select("seq", F.lit(r).alias("round"), "canon_url"),
+                meta={"round": r},
+            )
 
-        # FETCH pass 2 → corpus sink: image synthesis/decode/encode streams
-        # directly into the append (no checkpoint — bytes touch memory once)
-        if n_images:
+        def _commit_corpus() -> None:
+            if not n_images:
+                return
             images = (
                 fetched.filter("has_image")
                 .select("canon_url", "url_hash")
@@ -677,6 +684,7 @@ class CrawlRunner:
                 )
             )
             self.corpus.append(images, meta={"round": r})
+
         self._corpus_rows += n_images
 
         _mark("fetch_images")
@@ -880,10 +888,13 @@ class CrawlRunner:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
             futures = [
                 pool.submit(fn)
                 for fn in (
+                    # corpus first: image synthesis is the longest chain,
+                    # so its tasks back-fill while the small chains drain
+                    _commit_corpus, _commit_ordering,
                     _commit_crawl_log, _commit_seen, _commit_bloom,
                     _commit_host_touch, _commit_frontier,
                 )

@@ -880,7 +880,10 @@ def q_ann_ivf(spark, sf):
     centroids = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("cell_idx"), "embedding"
     )
-    return S.ivf_topk(e, centroids, k=3, nprobe=2)
+    # hot_cell_cap exercises the salted cell-skew guard (8 populated cells
+    # bound the unguarded join to 8 tasks); results identical by
+    # construction, so the SQL twin is unchanged
+    return S.ivf_topk(e, centroids, k=3, nprobe=2, hot_cell_cap=50, n_salts=4)
 
 
 SQL_ANN_IVF = """

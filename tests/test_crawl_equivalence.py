@@ -207,9 +207,13 @@ def test_disk_mode_unpersists_on_midround_abort(spark, tmp_path):
     )
     runner.init_from_seeds(SEEDS)
     runner.run(1)
-    orig_append = runner.ordering.append
+    # inject the concurrent ingest at a point that still PRECEDES the HWM
+    # guard: _new_frontier_rows runs in EXPAND, before the pre-pool check
+    # (r6 moved ordering.append — the old hook point — into the concurrent
+    # commit pool, after the guard)
+    orig_nfr = runner._new_frontier_rows
 
-    def hooked(df, meta=None):
+    def hooked(cand, round_disc):
         ingest_batch(
             spark,
             spark.createDataFrame(
@@ -221,13 +225,13 @@ def test_disk_mode_unpersists_on_midround_abort(spark, tmp_path):
                 "host", "robots_rules"
             ),
         )
-        return orig_append(df, meta=meta)
+        return orig_nfr(cand, round_disc)
 
-    runner.ordering.append = hooked
+    runner._new_frontier_rows = hooked
     with pytest.raises(RuntimeError, match="mid-round"):
         runner.run_round()
     assert runner._round_persists == []  # freed by the finally, not leaked
-    runner.ordering.append = orig_append
+    runner._new_frontier_rows = orig_nfr
     resumed = CrawlRunner.resume(spark, wd)
     resumed.run_round()
     assert resumed._round_persists == []

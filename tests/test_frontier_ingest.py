@@ -383,11 +383,13 @@ def test_midround_ingest_fails_stop_and_resumes(spark, tmp_path):
     )
     runner.init_from_seeds(simweb.seed_urls(8))
     runner.run(1)
-    # inject an ingest epoch in the middle of round 2 (after SELECT/FETCH,
-    # before the commit phase) by hooking the ordering append
-    orig_append = runner.ordering.append
+    # inject an ingest epoch in the middle of round 2 (during EXPAND,
+    # before the HWM guard + commit phase) by hooking _new_frontier_rows
+    # (r6 moved the ordering append — the old hook point — into the
+    # concurrent commit pool, after the guard)
+    orig_nfr = runner._new_frontier_rows
 
-    def hooked(df, meta=None):
+    def hooked(cand, round_disc):
         ingest_batch(
             spark,
             spark.createDataFrame(
@@ -400,9 +402,9 @@ def test_midround_ingest_fails_stop_and_resumes(spark, tmp_path):
                 "host", "robots_rules"
             ),
         )
-        return orig_append(df, meta=meta)
+        return orig_nfr(cand, round_disc)
 
-    runner.ordering.append = hooked
+    runner._new_frontier_rows = hooked
     with pytest.raises(RuntimeError, match="mid-round"):
         runner.run_round()
     # resume rolls back the aborted round's partial commits, adopts the

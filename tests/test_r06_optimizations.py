@@ -146,6 +146,26 @@ def test_minhash_numeric_band_keys_match_string_form(spark):
     assert got == sorted(want) and len(got) > 0
 
 
+def test_ivf_hot_cell_guard_is_result_identical(spark):
+    """The salted cell-skew guard must produce exactly the unguarded rows
+    (every ordered pair meets at one salt) — same contract as the LSH
+    hot-bucket guard."""
+    from paperchase_crawler_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell_idx"), "embedding"
+    )
+    plain = sorted(map(tuple, S.ivf_topk(e, cents, k=3, nprobe=2).collect()))
+    guarded = sorted(
+        map(
+            tuple,
+            S.ivf_topk(e, cents, k=3, nprobe=2, hot_cell_cap=5, n_salts=3).collect(),
+        )
+    )
+    assert plain == guarded and len(plain) > 0
+
+
 def test_word_kgrams_unrolled_matches_slice_form(spark):
     """k<=8 builds grams via unrolled element_at concat — must equal the
     slice+concat_ws form exactly (incl. short docs and empty strings)."""
