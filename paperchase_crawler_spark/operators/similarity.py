@@ -50,7 +50,13 @@ def cosine_topk_bruteforce(
     """Exact top-k neighbours per query (self-matches excluded).
 
     Output: (query_id, neighbor_id, cosine, rank). The queries side is
-    broadcast — at 100 TB the corpus streams map-side with zero shuffle."""
+    broadcast — at 100 TB the corpus streams map-side with zero shuffle
+    (_spread is a no-op once the file count provides parallelism; it only
+    rebalances a single-file small-SF scan that would otherwise run the
+    whole N×Q scoring in one task)."""
+    from .dedup import _spread
+
+    corpus = _spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
