@@ -43,13 +43,39 @@ def _range_partitioned(df: DataFrame, keys: list[str]) -> DataFrame:
 
 def with_global_rank(
     df: DataFrame, keys: list[str], rank_col: str, start: int = 0,
-    with_total: bool = False,
+    with_total: bool = False, max_rows: int | None = None,
 ):
     """Add ``rank_col`` = 0-based position of each row in the total order
     given by ``keys`` (ascending), offset by ``start``. Exact, distributed.
     ``with_total`` returns ``(df, total_rows)`` — the count is already known
     from the per-partition counts job, so callers needing it skip their own
-    count action."""
+    count action.
+
+    ``max_rows``: an UPPER BOUND on df's row count, when the caller already
+    holds one (the crawl bounds new discoveries by the collected outlink
+    total). A small bound turns the rank into the same single-job
+    TakeOrderedAndProject positional path as global_topk_ranked — the
+    limit(max_rows) keeps every row because the bound is an upper bound —
+    instead of the sampling pass + counts job of the range path. Bounds
+    above TAKE_ORDERED_MAX_K fall through to the range path, so the hint
+    can never funnel a large set through one partition."""
+    if max_rows is not None and max_rows <= TAKE_ORDERED_MAX_K:
+        top = df.orderBy(*[F.col(k).asc() for k in keys]).limit(max_rows)
+        rank = F.when(
+            F.spark_partition_id() == 0,
+            F.monotonically_increasing_id() + F.lit(start).cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "with_global_rank: take-ordered path expected a single "
+                    "sorted partition"
+                )
+            ).cast("long")
+        )
+        ranked = top.withColumn(rank_col, rank).localCheckpoint(eager=False)
+        if with_total:
+            return ranked, ranked.count()
+        return ranked
     part = _range_partitioned(df, keys).localCheckpoint(eager=False)
     counts = {
         r[_PID]: r["cnt"]

@@ -653,6 +653,7 @@ class CrawlRunner:
         # single collect drives all row accounting — no extra count() jobs
         n_selected = sum(m["n_fetched"] for m in part_metrics)
         n_images = int(sum(m["n_images"] for m in part_metrics))
+        n_outlinks_total = int(sum(m["n_outlinks"] for m in part_metrics))
         if n_selected == 0:
             self.round = r
             self._commit_checkpoint()
@@ -726,8 +727,11 @@ class CrawlRunner:
         else:
             new = filter_new(dedup, self.seen.read(spark))
             seen_info = {"path": "exact_full_scan"}
+        # the collected outlink total upper-bounds the new-row count, so a
+        # small round ranks via the single-job positional path (ordering)
         new_ranked = with_global_rank(
-            new, ["seq", "pos"], "disc_seq_new", start=self.next_disc_seq
+            new, ["seq", "pos"], "disc_seq_new", start=self.next_disc_seq,
+            max_rows=n_outlinks_total,
         ).select(
             "canon_url",
             "url_hash",

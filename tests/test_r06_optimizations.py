@@ -146,6 +146,39 @@ def test_minhash_numeric_band_keys_match_string_form(spark):
     assert got == sorted(want) and len(got) > 0
 
 
+def test_with_global_rank_max_rows_hint_matches_range_path(spark):
+    """The max_rows upper-bound hint must yield exactly the range path's
+    ranks (positional id over the single TakeOrdered partition), for bounds
+    equal to, above, and far above the true row count — and fall back to
+    the range path past TAKE_ORDERED_MAX_K."""
+    import random
+
+    from paperchase_crawler_spark.operators.ordering import (
+        TAKE_ORDERED_MAX_K,
+        with_global_rank,
+    )
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(7), i) for i in range(400)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "depth int, disc_seq long").repartition(5)
+    want = {
+        r.disc_seq: r.rank
+        for r in with_global_rank(df, ["depth", "disc_seq"], "rank", start=3).collect()
+    }
+    for bound in (400, 401, 5000, TAKE_ORDERED_MAX_K, TAKE_ORDERED_MAX_K + 1):
+        out, total = with_global_rank(
+            df, ["depth", "disc_seq"], "rank", start=3, with_total=True,
+            max_rows=bound,
+        )
+        got = {r.disc_seq: r.rank for r in out.collect()}
+        assert got == want and total == 400, bound
+    out0 = with_global_rank(
+        df.limit(0), ["depth", "disc_seq"], "rank", max_rows=0
+    )
+    assert out0.count() == 0
+
+
 def test_ivf_hot_cell_guard_is_result_identical(spark):
     """The salted cell-skew guard must produce exactly the unguarded rows
     (every ordered pair meets at one salt) — same contract as the LSH
