@@ -490,9 +490,12 @@ class CrawlRunner:
             .agg(F.min(F.struct("seed_idx", "canon_url")).alias("s"))
             .select("url_hash", "s.seed_idx", "s.canon_url")
         )
-        # the rank op's counts job already knows the total — no second count
+        # the rank op's counts job already knows the total — no second count;
+        # the seed list length bounds the deduped row count, so small seed
+        # sets take the single-job positional path
         ranked, n_seeds = with_global_rank(
-            dedup, ["seed_idx"], "disc_seq", start=0, with_total=True
+            dedup, ["seed_idx"], "disc_seq", start=0, with_total=True,
+            max_rows=len(seeds),
         )
         rows = self._new_frontier_rows(
             ranked.withColumn("depth", F.lit(0)), round_disc=0
